@@ -1,0 +1,401 @@
+"""Per-branch forward pass and log posterior densities for all prior families.
+
+This is the mathematical core: the TPU equivalents of the reference's
+``BranchSampler`` density methods and the five branch impls
+(/root/reference/src/net/branch/{branch_sampler,ridge_base,ridge_ard,
+lasso_base,lasso_ard,std_normal_branch}.rs).
+
+Everything operates on a *single branch slice* — pytrees of per-layer arrays
+without the leading G axis — so the same functions serve:
+  * the sequential Gibbs scan (slice branch g out of the stacked state),
+  * the block-parallel update (vmap over G),
+  * multi-chain sampling (vmap over chains).
+
+Gradients are obtained with ``jax.grad`` of these densities; the reference's
+hand-derived backprop (branch_sampler.rs:813-875) plus prior-term gradients
+(ridge: −λ∘W, lasso: −λ∘sign(W) with sign(0)=0 — matching ``jnp.sign``) agree
+with autodiff, which the tests verify against the reference's golden values.
+
+Prior families ("model types"):
+  ridge_base   one Gamma-precision per layer, Normal weights
+  ridge_ard    one precision per input row in all but the output layer
+  lasso_base   one precision per layer, Laplace weights
+  lasso_ard    per-row Laplace rates
+  std_normal   fixed unit precisions (no Gibbs)
+
+The output layer is always Base-style, with a precision *shared across all
+branches* (reference params.rs:395-465): its conditional posterior sees the
+summary statistic (sum of squares / abs) of ALL branches' output weights.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import activation
+from .arch import NetArch
+from . import params as P
+from .params import StackedParams, StackedPrecisions
+
+MODEL_TYPES = ("ridge_base", "ridge_ard", "lasso_base", "lasso_ard", "std_normal")
+
+
+def is_ard(model_type: str) -> bool:
+    return model_type.endswith("_ard")
+
+
+def is_lasso(model_type: str) -> bool:
+    return model_type.startswith("lasso")
+
+
+def summary_stat(model_type: str, w: jax.Array) -> jax.Array:
+    """Branch-type specific regularization sum over output weights.
+
+    Ridge/StdNormal: sum of squares; Lasso: sum of abs
+    (ridge_base.rs:36-42, lasso_base.rs:37-43).
+    """
+    if is_lasso(model_type):
+        return jnp.sum(jnp.abs(w))
+    return jnp.sum(w * w)
+
+
+class Hyperparameters(NamedTuple):
+    """Gamma (shape, scale) precision prior hyperparameters per layer group.
+
+    Mirrors ``NetworkPrecisionHyperparameters`` (params.rs:133-188): dense
+    layers, the summary layer (index L-2), the output layer (index L-1).
+    """
+
+    dense_shape: float = 0.001
+    dense_scale: float = 1000.0
+    summary_shape: float = 0.001
+    summary_scale: float = 1000.0
+    output_shape: float = 0.001
+    output_scale: float = 1000.0
+
+    def layer(self, l: int, num_layers: int) -> Tuple[float, float]:
+        if l == num_layers - 1:
+            return self.output_shape, self.output_scale
+        if l == num_layers - 2:
+            return self.summary_shape, self.summary_scale
+        return self.dense_shape, self.dense_scale
+
+
+class BranchStatics(NamedTuple):
+    """Per-branch true counts / masks, stacked [G, ...]; slice with tree.map."""
+
+    w_counts: Tuple[jax.Array, ...]  # [G] true weights per layer
+    b_counts: Tuple[jax.Array, ...]  # [G] true biases per layer
+    row_masks: Tuple[jax.Array, ...]  # [G, in_pad, 1] true input-row masks
+    out_counts: Tuple[jax.Array, ...]  # [G] true output width per layer
+    n_params: jax.Array  # [G] true params per branch
+
+
+def branch_statics(arch: NetArch) -> BranchStatics:
+    ins = arch.layer_in_counts()
+    row_masks = []
+    for l in range(arch.num_layers):
+        ip = arch.layer_in_pad(l)
+        rm = (jnp.arange(ip)[None, :] < jnp.asarray(ins[l])[:, None]).astype(jnp.float32)
+        row_masks.append(rm[:, :, None])
+    return BranchStatics(
+        w_counts=P.weight_counts(arch),
+        b_counts=P.bias_counts(arch),
+        row_masks=tuple(row_masks),
+        out_counts=tuple(
+            jnp.asarray(c, jnp.float32) for c in arch.layer_out_counts()
+        ),
+        n_params=P.param_counts(arch),
+    )
+
+
+def slice_branch(tree, g):
+    """Take branch g out of a stacked pytree (works under jit/scan)."""
+    return jax.tree.map(lambda a: a[g], tree)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def forward(act_name: str, weights, biases, x):
+    """Forward pass of one branch.
+
+    x: [n, m_pad]; returns (pre_activations, activations) like the
+    reference's ``forward_feed`` (branch_sampler.rs:743-758): activations has
+    one entry per layer, the last being the scalar output column [n, 1].
+    """
+    h = activation(act_name)
+    pre = []
+    acts = []
+    a = x
+    num_layers = len(weights)
+    for l in range(num_layers - 1):
+        z = a @ weights[l] + biases[l][None, :]
+        pre.append(z)
+        a = h(z)
+        acts.append(a)
+    out = a @ weights[-1]
+    acts.append(out)
+    return pre, acts
+
+
+def predict(act_name: str, weights, biases, x) -> jax.Array:
+    """Branch prediction [n] (output column squeezed)."""
+    _, acts = forward(act_name, weights, biases, x)
+    return acts[-1][:, 0]
+
+
+def branch_rss(act_name: str, weights, biases, x, y) -> jax.Array:
+    r = predict(act_name, weights, biases, x) - y
+    return jnp.sum(r * r)
+
+
+# --------------------------------------------------- marginal log densities
+
+
+def log_density_wrt_weights(model_type: str, weights, w_precisions) -> jax.Array:
+    """Prior term of the marginal (precision-conditional) log density.
+
+    ridge_base.rs:159-173 / ridge_ard.rs:171-194 / lasso_base.rs:160-173 /
+    lasso_ard.rs / std_normal_branch.rs. Padded entries are exactly zero so
+    unmasked sums are exact.
+    """
+    ld = 0.0
+    for w, lam in zip(weights, w_precisions):
+        if model_type == "std_normal":
+            ld = ld - 0.5 * jnp.sum(w * w)
+        elif is_lasso(model_type):
+            ld = ld - jnp.sum(lam * jnp.abs(w))
+        else:
+            ld = ld - 0.5 * jnp.sum(lam * w * w)
+    return ld
+
+
+def log_density_wrt_biases(model_type: str, biases) -> jax.Array:
+    """Marginal mode: biases are unregularized (branch_sampler.rs:104-112)
+    except for std_normal, whose log_density override includes unit-precision
+    bias terms (std_normal_branch.rs:150-162)."""
+    if model_type != "std_normal":
+        return jnp.asarray(0.0)
+    ld = 0.0
+    for b in biases:
+        ld = ld - 0.5 * jnp.sum(b * b)
+    return ld
+
+
+def log_density(
+    model_type: str, weights, biases, w_precisions, error_precision, rss
+) -> jax.Array:
+    """-U(q): branch_sampler.rs:72-78."""
+    return (
+        log_density_wrt_weights(model_type, weights, w_precisions)
+        + log_density_wrt_biases(model_type, biases)
+        - error_precision * rss / 2.0
+    )
+
+
+def potential_fn(model_type: str, act_name: str):
+    """Returns f(weights, biases, w_precisions, error_precision, x, y) -> -U.
+
+    ``jax.grad`` of this w.r.t. (weights, biases) reproduces the reference's
+    analytic gradient (backprop + prior terms, branch_sampler.rs:380-391).
+    """
+
+    def f(weights, biases, w_precisions, error_precision, x, y):
+        rss = branch_rss(act_name, weights, biases, x, y)
+        return log_density(model_type, weights, biases, w_precisions, error_precision, rss)
+
+    return f
+
+
+# ------------------------------------------------------ joint log densities
+
+
+def _joint_local_weights(
+    model_type: str,
+    weights,
+    w_precisions,
+    hyper: Hyperparameters,
+    statics_g,
+) -> jax.Array:
+    """Local (non-output) weight+precision terms of the joint density.
+
+    ridge_base.rs:117-136, ridge_ard.rs:119-148, lasso_base.rs:119-138,
+    lasso_ard.rs.
+    """
+    L = len(weights)
+    ld = 0.0
+    for l in range(L - 1):
+        shape, scale = hyper.layer(l, L)
+        w, lam = weights[l], w_precisions[l]
+        if is_ard(model_type):
+            rm = statics_g.row_masks[l]  # [in_pad, 1]
+            ncols = statics_g.out_counts[l]
+            if is_lasso(model_type):
+                row_l1 = jnp.sum(jnp.abs(w), axis=1, keepdims=True)
+                ld = ld - jnp.sum(rm * (row_l1 + 1.0 / scale) * lam)
+                ld = ld + (shape + ncols - 1.0) * jnp.sum(rm * jnp.log(lam))
+            else:
+                row_ssq = jnp.sum(w * w, axis=1, keepdims=True)
+                ld = ld - jnp.sum(rm * (row_ssq / 2.0 + 1.0 / scale) * lam)
+                ld = ld + (shape + (ncols - 2.0) / 2.0) * jnp.sum(rm * jnp.log(lam))
+        else:
+            nvar = statics_g.w_counts[l]
+            lam0 = lam.reshape(())
+            if is_lasso(model_type):
+                ld = ld - (jnp.sum(jnp.abs(w)) + 1.0 / scale) * lam0
+                ld = ld + (shape + nvar - 1.0) * jnp.log(lam0)
+            else:
+                ld = ld - (jnp.sum(w * w) / 2.0 + 1.0 / scale) * lam0
+                ld = ld + (shape + (nvar - 2.0) / 2.0) * jnp.log(lam0)
+    return ld
+
+
+def _joint_output_weights(
+    model_type: str,
+    weights,
+    w_precisions,
+    hyper: Hyperparameters,
+    reg_sum_others: jax.Array,
+    n_out_global: jax.Array,
+) -> jax.Array:
+    """Output weight + shared precision term (ridge_base.rs:138-157 etc.).
+
+    ``reg_sum_others`` is the summary stat of all OTHER branches' output
+    weights; ``n_out_global`` the global output-weight count.
+    """
+    L = len(weights)
+    shape, scale = hyper.layer(L - 1, L)
+    lam = w_precisions[-1].reshape(())
+    own = summary_stat(model_type, weights[-1])
+    tot = own + reg_sum_others
+    if is_lasso(model_type):
+        return -(tot + 1.0 / scale) * lam + (shape + n_out_global - 1.0) * jnp.log(lam)
+    return -(tot / 2.0 + 1.0 / scale) * lam + (
+        shape + (n_out_global - 2.0) / 2.0
+    ) * jnp.log(lam)
+
+
+def _joint_biases(biases, b_precisions, hyper: Hyperparameters, statics_g) -> jax.Array:
+    """l2-regularized bias + precision terms (branch_sampler.rs:259-279)."""
+    L = len(biases) + 1
+    ld = 0.0
+    for l in range(L - 1):
+        shape, scale = hyper.layer(l, L)
+        lam = b_precisions[l].reshape(())
+        nvar = statics_g.b_counts[l]
+        ld = ld - lam * (jnp.sum(biases[l] ** 2) / 2.0 + 1.0 / scale)
+        ld = ld + (shape + (nvar - 2.0) / 2.0) * jnp.log(lam)
+    return ld
+
+
+def joint_rss_term(
+    error_precision, rss, hyper: Hyperparameters, num_individuals
+) -> jax.Array:
+    """RSS + error precision term (branch_sampler.rs:240-257): uses the
+    *output layer* hyperparams for the error precision prior."""
+    return (hyper.output_shape + (num_individuals - 2.0) / 2.0) * jnp.log(
+        error_precision
+    ) - error_precision * (rss / 2.0 + 1.0 / hyper.output_scale)
+
+
+def log_density_joint(
+    model_type: str,
+    weights,
+    biases,
+    w_precisions,
+    b_precisions,
+    error_precision,
+    rss,
+    hyper: Hyperparameters,
+    statics_g,
+    reg_sum_others,
+    n_out_global,
+    num_individuals,
+) -> jax.Array:
+    """Full joint -U over params AND precisions (branch_sampler.rs:292-305)."""
+    return (
+        _joint_local_weights(model_type, weights, w_precisions, hyper, statics_g)
+        + _joint_output_weights(
+            model_type, weights, w_precisions, hyper, reg_sum_others, n_out_global
+        )
+        + _joint_biases(biases, b_precisions, hyper, statics_g)
+        + joint_rss_term(error_precision, rss, hyper, num_individuals)
+    )
+
+
+def joint_local_term(
+    model_type, weights, biases, w_precisions, b_precisions, hyper, statics_g
+) -> jax.Array:
+    """Per-branch local LPD contribution (log_posterior_density.rs:27-50)."""
+    return _joint_local_weights(
+        model_type, weights, w_precisions, hyper, statics_g
+    ) + _joint_biases(biases, b_precisions, hyper, statics_g)
+
+
+def joint_output_term(
+    model_type, weights, w_precisions, hyper, reg_sum_others, n_out_global
+) -> jax.Array:
+    return _joint_output_weights(
+        model_type, weights, w_precisions, hyper, reg_sum_others, n_out_global
+    )
+
+
+def joint_potential_fn(model_type: str, act_name: str):
+    """Joint-HMC potential: differentiable in params AND precisions.
+
+    f(weights, biases, w_prec, b_prec, err_prec, x, y, hyper, statics_g,
+      reg_sum_others, n_out_global) -> -U
+    """
+
+    def f(
+        weights,
+        biases,
+        w_precisions,
+        b_precisions,
+        error_precision,
+        x,
+        y,
+        hyper,
+        statics_g,
+        reg_sum_others,
+        n_out_global,
+    ):
+        rss = branch_rss(act_name, weights, biases, x, y)
+        return log_density_joint(
+            model_type,
+            weights,
+            biases,
+            w_precisions,
+            b_precisions,
+            error_precision,
+            rss,
+            hyper,
+            statics_g,
+            reg_sum_others,
+            n_out_global,
+            jnp.asarray(y.shape[0], jnp.float32),
+        )
+
+    return f
+
+
+# ------------------------------------------------------------ effect sizes
+
+
+def effect_sizes(act_name: str, weights, biases, x) -> jax.Array:
+    """d y_hat / d x, per individual: [n, m_pad].
+
+    Equivalent to the reference's input-gradient backprop
+    (branch_sampler.rs:787-811) but via jacobian-vector algebra: since the
+    output is scalar per individual, grad of sum of outputs w.r.t. x gives
+    exactly the per-row input gradients.
+    """
+
+    def total_out(xx):
+        return jnp.sum(predict(act_name, weights, biases, xx))
+
+    return jax.grad(total_out)(x)

@@ -1,0 +1,644 @@
+"""The block net: grouped branch networks + blocked Gibbs-within-MCMC training.
+
+TPU-native rebuild of the reference's ``Net<B>`` (/root/reference/src/net/
+net.rs:76-702). The reference drives a host-side loop per branch per
+iteration, round-tripping parameters between host and device at every update
+(branch_struct.rs:12-29, branch_sampler.rs:155-171). Here the entire Gibbs
+sweep over branches — precision Gibbs draws, HMC trajectories, residual
+bookkeeping, output-bias update — is ONE compiled XLA program:
+
+  * ``update_mode="sequential"``: a ``lax.scan`` over a freshly shuffled
+    branch order per sweep; exact random-scan Gibbs semantics of the
+    reference (net.rs:251-334), including immediate propagation of the shared
+    error precision, output-layer precision and output-weight summary
+    statistic between consecutive branch updates.
+  * ``update_mode="parallel"``: a block systematic-scan variant — every
+    branch runs HMC against the residual snapshot y − bias − Σ_{g'≠g} pred_g'
+    from the start of the sweep, and the shared scalars are Gibbs-updated
+    once per sweep. Branches become embarrassingly parallel (vmap) and shard
+    across a device mesh. Tests validate this statistically against the
+    sequential mode.
+
+Multiple chains are a leading vmap axis over the whole sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samplers import gibbs
+from ..samplers.hmc import (
+    make_gradient_descent,
+    make_hmc_step,
+    make_hmc_step_joint,
+)
+from ..samplers.mcmc_cfg import MCMCCfg
+from . import density as D
+from . import params as P
+from .arch import NetArch
+from .params import NetState, StackedParams, StackedPrecisions
+
+
+class TrainCarry(NamedTuple):
+    state: NetState
+    residual: jax.Array  # [n]
+    lpd_local: jax.Array  # [G]
+    lpd_out: jax.Array
+    lpd_rss: jax.Array
+    counts: jax.Array  # [3] int32: accepted / rejected / rejected-early
+    key: jax.Array
+
+
+class SweepStats(NamedTuple):
+    counts: jax.Array  # cumulative [3]
+    mse_train: jax.Array
+    lpd: jax.Array
+
+
+# --------------------------------------------------------------------------
+# Gibbs draws
+# --------------------------------------------------------------------------
+
+
+def _gibbs_local_precisions(key, model_type, w_g, b_g, statics_g, hyper, num_layers):
+    """Per-branch Gibbs update of local weight+bias precisions.
+
+    ridge_base.rs:235-253, ridge_ard.rs:271-301, lasso_base.rs:235-253,
+    lasso_ard.rs. Bias precisions are always ridge-updated.
+    """
+    L = num_layers
+    keys = jax.random.split(key, 2 * (L - 1))
+    new_wp, new_bp = [], []
+    for l in range(L - 1):
+        shape, scale = hyper.layer(l, L)
+        w = w_g[l]
+        if D.is_ard(model_type):
+            ncols = statics_g.out_counts[l]
+            if D.is_lasso(model_type):
+                l1_rows = jnp.sum(jnp.abs(w), axis=1, keepdims=True)
+                lam = gibbs.lasso_precision_posterior(keys[l], shape, scale, l1_rows, ncols)
+            else:
+                ssq_rows = jnp.sum(w * w, axis=1, keepdims=True)
+                lam = gibbs.ridge_precision_posterior(keys[l], shape, scale, ssq_rows, ncols)
+        else:
+            nvar = statics_g.w_counts[l]
+            if D.is_lasso(model_type):
+                lam = gibbs.lasso_precision_posterior(
+                    keys[l], shape, scale, jnp.sum(jnp.abs(w)), nvar
+                ).reshape(1, 1)
+            else:
+                lam = gibbs.ridge_precision_posterior(
+                    keys[l], shape, scale, jnp.sum(w * w), nvar
+                ).reshape(1, 1)
+        new_wp.append(lam)
+        bp = gibbs.ridge_precision_posterior(
+            keys[L - 1 + l], shape, scale, jnp.sum(b_g[l] ** 2), statics_g.b_counts[l]
+        ).reshape(1)
+        new_bp.append(bp)
+    return tuple(new_wp), tuple(new_bp)
+
+
+def _gibbs_output_precision(key, model_type, reg_all, n_out, hyper):
+    """Shared output-layer precision draw (branch_sampler.rs:178-188)."""
+    if model_type == "std_normal":
+        return jnp.asarray(1.0)
+    if D.is_lasso(model_type):
+        return gibbs.lasso_precision_posterior(
+            key, hyper.output_shape, hyper.output_scale, reg_all, n_out
+        )
+    return gibbs.ridge_precision_posterior(
+        key, hyper.output_shape, hyper.output_scale, reg_all, n_out
+    )
+
+
+def _reg_all(model_type, params: StackedParams):
+    w_out = params.weights[-1]
+    if D.is_lasso(model_type):
+        return jnp.sum(jnp.abs(w_out))
+    return jnp.sum(w_out * w_out)
+
+
+def _update_output_bias(cfg, hyper, key, residual, bias, bias_prec, err_prec):
+    """net.rs:319-332: add bias back, resample (or ML), subtract again.
+
+    Note: the reference's sampled-bias prior-precision draw passes the output
+    prior *shape* for both Gamma parameters (net.rs:61-66); we use
+    (shape, scale) as evidently intended.
+    """
+    k1, k2 = jax.random.split(key)
+    residual = residual + bias
+    if cfg.sampled_output_bias:
+        bias_prec = gibbs.ridge_single_precision_posterior(
+            k1, hyper.output_shape, hyper.output_scale, bias
+        )
+        bias = gibbs.sample_output_bias(k2, residual, err_prec, bias_prec)
+    else:
+        bias = jnp.mean(residual)
+    residual = residual - bias
+    return residual, bias, bias_prec
+
+
+# --------------------------------------------------------------------------
+# Sweep builders
+# --------------------------------------------------------------------------
+
+
+def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
+    """Build the one-iteration Gibbs sweep.
+
+    Returns sweep(carry: TrainCarry, X [G,n,m_pad], y [n]) ->
+    (TrainCarry, SweepStats). Jit (and optionally vmap over chains) at the
+    call site.
+    """
+    statics = D.branch_statics(arch)
+    masks_w = P.weight_masks(arch)
+    masks_b = P.bias_masks(arch)
+    G = arch.num_branches
+    L = arch.num_layers
+    n_out_tot = jnp.asarray(float(arch.total_output_weights))
+    gibbs_precisions = not (cfg.joint_hmc or cfg.gradient_descent_joint)
+    sample_local = (
+        gibbs_precisions
+        and not cfg.fixed_param_precisions
+        and model_type != "std_normal"
+    )
+
+    if cfg.gradient_descent:
+        transition = make_gradient_descent(model_type, act, cfg)
+        joint = False
+    elif cfg.joint_hmc or cfg.gradient_descent_joint:
+        if cfg.gradient_descent_joint:
+            raise NotImplementedError(
+                "gradient_descent_joint is not implemented yet; use joint_hmc"
+            )
+        transition = make_hmc_step_joint(model_type, act, cfg)
+        joint = True
+    else:
+        transition = make_hmc_step(model_type, act, cfg)
+        joint = False
+
+    n_precisions = float(
+        1 + 2 * (L - 1) + 1
+    )  # rough per-branch precision count for joint step sizing
+
+    def branch_update(carry: TrainCarry, g, X, y):
+        state, residual = carry.state, carry.residual
+        params, precisions = state.params, state.precisions
+        key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(carry.key, 6)
+
+        w_g = tuple(w[g] for w in params.weights)
+        b_g = tuple(b[g] for b in params.biases)
+        mw_g = tuple(m[g] for m in masks_w)
+        mb_g = tuple(m[g] for m in masks_b)
+        st_g = D.slice_branch(statics, g)
+        x_g = X[g]
+
+        err_prec = precisions.error
+        wp = precisions.weights
+        bp = precisions.biases
+
+        if gibbs_precisions:
+            err_prec = gibbs.error_precision_posterior(k_e, hyper, residual)
+        if sample_local:
+            new_wp_g, new_bp_g = _gibbs_local_precisions(
+                k_loc, model_type, w_g, b_g, st_g, hyper, L
+            )
+            wp = tuple(
+                wp[l].at[g].set(new_wp_g[l]) if l < L - 1 else wp[l]
+                for l in range(L)
+            )
+            bp = tuple(bp[l].at[g].set(new_bp_g[l]) for l in range(L - 1))
+            lam_out = _gibbs_output_precision(
+                k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+            )
+            wp = tuple(
+                jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
+                for l in range(L)
+            )
+
+        wp_g = tuple(a[g] for a in wp)
+        bp_g = tuple(a[g] for a in bp)
+
+        pred_old = D.predict(act, w_g, b_g, x_g)
+        target = residual + pred_old
+
+        if joint:
+            reg_sum_others = _reg_all(model_type, params) - D.summary_stat(
+                model_type, w_g[-1]
+            )
+            res, wp_g_new, bp_g_new, err_new = transition(
+                k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
+                mw_g, mb_g, st_g.n_params, jnp.asarray(n_precisions),
+                hyper, st_g, reg_sum_others, n_out_tot,
+            )
+            accepted = res.code == 0
+            wp = tuple(
+                wp[l].at[g].set(jnp.where(accepted, wp_g_new[l], wp_g[l]))
+                for l in range(L)
+            )
+            bp = tuple(
+                bp[l].at[g].set(jnp.where(accepted, bp_g_new[l], bp_g[l]))
+                for l in range(L - 1)
+            )
+            err_prec = jnp.where(accepted, err_new, err_prec)
+        else:
+            res = transition(
+                k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
+                mw_g, mb_g, st_g.n_params,
+            )
+
+        residual = target - res.y_pred
+        params = StackedParams(
+            tuple(params.weights[l].at[g].set(res.weights[l]) for l in range(L)),
+            tuple(params.biases[l].at[g].set(res.biases[l]) for l in range(L - 1)),
+        )
+        precisions = StackedPrecisions(wp, bp, err_prec)
+
+        # ---- log posterior density bookkeeping (log_posterior_density.rs)
+        w_g = tuple(w[g] for w in params.weights)
+        b_g = tuple(b[g] for b in params.biases)
+        wp_g = tuple(a[g] for a in wp)
+        bp_g = tuple(a[g] for a in bp)
+        lpd_local = carry.lpd_local.at[g].set(
+            D.joint_local_term(model_type, w_g, b_g, wp_g, bp_g, hyper, st_g)
+        )
+        reg_sum_others = _reg_all(model_type, params) - D.summary_stat(
+            model_type, w_g[-1]
+        )
+        lpd_out = D.joint_output_term(
+            model_type, w_g, wp_g, hyper, reg_sum_others, n_out_tot
+        )
+        lpd_rss = D.joint_rss_term(
+            err_prec, jnp.sum(residual**2), hyper,
+            jnp.asarray(residual.shape[0], jnp.float32),
+        )
+
+        residual, bias, bias_prec = _update_output_bias(
+            cfg, hyper, k_bias, residual, state.output_bias,
+            state.output_bias_precision, err_prec,
+        )
+
+        return TrainCarry(
+            state=NetState(params, precisions, bias, bias_prec),
+            residual=residual,
+            lpd_local=lpd_local,
+            lpd_out=lpd_out,
+            lpd_rss=lpd_rss,
+            counts=carry.counts.at[res.code].add(1),
+            key=key,
+        )
+
+    def finish(carry: TrainCarry) -> SweepStats:
+        n = jnp.asarray(carry.residual.shape[0], jnp.float32)
+        return SweepStats(
+            counts=carry.counts,
+            mse_train=jnp.sum(carry.residual**2) / n,
+            lpd=carry.lpd_rss + carry.lpd_out + jnp.sum(carry.lpd_local),
+        )
+
+    # ---------------------------------------------------------- sequential
+    def sweep_sequential(carry: TrainCarry, X, y):
+        key, k_perm = jax.random.split(carry.key)
+        carry = carry._replace(key=key)
+        perm = jax.random.permutation(k_perm, G)
+
+        def body(c, g):
+            return branch_update(c, g, X, y), None
+
+        carry, _ = jax.lax.scan(body, carry, perm)
+        return carry, finish(carry)
+
+    # ------------------------------------------------------------ parallel
+    def sweep_parallel(carry: TrainCarry, X, y):
+        state = carry.state
+        params, precisions = state.params, state.precisions
+        key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(carry.key, 6)
+
+        # shared scalar Gibbs draws once per sweep, from the snapshot
+        err_prec = precisions.error
+        wp, bp = precisions.weights, precisions.biases
+        if gibbs_precisions:
+            err_prec = gibbs.error_precision_posterior(k_e, hyper, carry.residual)
+        if sample_local:
+            loc_keys = jax.random.split(k_loc, G)
+
+            def draw_local(k, w_g, b_g, st_g):
+                return _gibbs_local_precisions(k, model_type, w_g, b_g, st_g, hyper, L)
+
+            new_wp, new_bp = jax.vmap(draw_local)(
+                loc_keys,
+                tuple(params.weights[l] for l in range(L)),
+                tuple(params.biases[l] for l in range(L - 1)),
+                statics,
+            )
+            wp = tuple(new_wp[l] if l < L - 1 else wp[l] for l in range(L))
+            bp = tuple(new_bp)
+            lam_out = _gibbs_output_precision(
+                k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+            )
+            wp = tuple(
+                jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
+                for l in range(L)
+            )
+
+        # per-branch predictions from the snapshot; frozen residual base
+        preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
+            params.weights, params.biases, X
+        )  # [G, n]
+        targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
+
+        hmc_keys = jax.random.split(k_hmc, G)
+
+        def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar):
+            return transition(
+                k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar
+            )
+
+        res = jax.vmap(one)(
+            hmc_keys,
+            params.weights,
+            params.biases,
+            wp,
+            bp,
+            X,
+            targets,
+            masks_w,
+            masks_b,
+            statics.n_params,
+        )
+        params = StackedParams(res.weights, res.biases)
+        precisions = StackedPrecisions(wp, bp, err_prec)
+        residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
+
+        # LPD bookkeeping, vectorized
+        lpd_local = jax.vmap(
+            lambda w_g, b_g, wp_g, bp_g, st_g: D.joint_local_term(
+                model_type, w_g, b_g, wp_g, bp_g, hyper, st_g
+            )
+        )(params.weights, params.biases, wp, bp, statics)
+        reg_all = _reg_all(model_type, params)
+        w0 = tuple(w[0] for w in params.weights)
+        wp0 = tuple(a[0] for a in wp)
+        lpd_out = D.joint_output_term(
+            model_type, w0, wp0, hyper,
+            reg_all - D.summary_stat(model_type, w0[-1]), n_out_tot,
+        )
+        lpd_rss = D.joint_rss_term(
+            err_prec, jnp.sum(residual**2), hyper,
+            jnp.asarray(residual.shape[0], jnp.float32),
+        )
+
+        residual, bias, bias_prec = _update_output_bias(
+            cfg, hyper, k_bias, residual, state.output_bias,
+            state.output_bias_precision, err_prec,
+        )
+
+        counts = carry.counts
+        for code in range(3):
+            counts = counts.at[code].add(jnp.sum(res.code == code))
+
+        carry = TrainCarry(
+            state=NetState(params, precisions, bias, bias_prec),
+            residual=residual,
+            lpd_local=lpd_local,
+            lpd_out=lpd_out,
+            lpd_rss=lpd_rss,
+            counts=counts,
+            key=key,
+        )
+        return carry, finish(carry)
+
+    if joint and cfg.update_mode == "parallel":
+        raise NotImplementedError("joint_hmc currently requires sequential mode")
+
+    return sweep_sequential if cfg.update_mode == "sequential" else sweep_parallel
+
+
+# --------------------------------------------------------------------------
+# Net
+# --------------------------------------------------------------------------
+
+
+class Net:
+    """Full model: architecture + hyperparameters + sampler state.
+
+    Mirrors the public surface of the reference ``Net<B>``: train /
+    train-single-branch (the sequential sweep covers both), predict,
+    branch_r2s, activations, gradient, population_effect_sizes, save/load.
+    """
+
+    def __init__(
+        self,
+        model_type: str,
+        arch: NetArch,
+        hyper: D.Hyperparameters,
+        state: NetState,
+    ):
+        assert model_type in D.MODEL_TYPES, model_type
+        self.model_type = model_type
+        self.arch = arch
+        self.hyper = hyper
+        self.state = state
+
+    # ------------------------------------------------------------- predict
+    def predict(self, X, state: Optional[NetState] = None) -> jax.Array:
+        """y_hat [n] = bias + sum of branch predictions (net.rs:545-559)."""
+        state = state if state is not None else self.state
+        act = self.arch.activation
+        preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
+            state.params.weights, state.params.biases, X
+        )
+        return state.output_bias + jnp.sum(preds, axis=0)
+
+    def mse(self, X, y, state: Optional[NetState] = None) -> jax.Array:
+        r = self.predict(X, state) - y
+        return jnp.sum(r * r) / y.shape[0]
+
+    def branch_r2s(self, X, y, state: Optional[NetState] = None) -> jax.Array:
+        """Per-branch 1 - rss/ssq(y) (branch_sampler.rs:911-913)."""
+        state = state if state is not None else self.state
+        act = self.arch.activation
+
+        def one(w, b, x):
+            r = D.predict(act, w, b, x) - y
+            return 1.0 - jnp.sum(r * r) / jnp.sum(y * y)
+
+        return jax.vmap(one)(state.params.weights, state.params.biases, X)
+
+    def activations(self, X, state: Optional[NetState] = None):
+        """Per-branch per-layer activations (net.rs:509-518)."""
+        state = state if state is not None else self.state
+        act = self.arch.activation
+        out = []
+        for g in range(self.arch.num_branches):
+            w = tuple(w[g] for w in state.params.weights)
+            b = tuple(b[g] for b in state.params.biases)
+            _, acts = D.forward(act, w, b, X[g])
+            out.append([np.asarray(a) for a in acts])
+        return out
+
+    def gradients(self, X, y, state: Optional[NetState] = None):
+        """Per-branch marginal log-density gradients (net.rs:520-527)."""
+        state = state if state is not None else self.state
+        act = self.arch.activation
+        pot = D.potential_fn(self.model_type, act)
+        grads = []
+        for g in range(self.arch.num_branches):
+            w = tuple(w[g] for w in state.params.weights)
+            b = tuple(b[g] for b in state.params.biases)
+            wp = tuple(a[g] for a in state.precisions.weights)
+            gw, gb = jax.grad(pot, argnums=(0, 1))(
+                w, b, wp, state.precisions.error, X[g], y
+            )
+            grads.append((tuple(np.asarray(a) for a in gw),
+                          tuple(np.asarray(a) for a in gb)))
+        return grads
+
+    def effect_sizes(self, X, state: Optional[NetState] = None):
+        """[G, n, m_pad] input gradients (branch_sampler.rs:787-811)."""
+        state = state if state is not None else self.state
+        act = self.arch.activation
+        return jax.vmap(lambda w, b, x: D.effect_sizes(act, w, b, x))(
+            state.params.weights, state.params.biases, X
+        )
+
+    def population_effect_sizes(self, X, state: Optional[NetState] = None):
+        """Per-marker population mean of d y_hat/d x (net.rs:529-543)."""
+        es = self.effect_sizes(X, state)  # [G, n, m_pad]
+        means = jnp.mean(es, axis=1)  # [G, m_pad]
+        out = []
+        for g in range(self.arch.num_branches):
+            out.extend(np.asarray(means[g, : self.arch.m[g]]).tolist())
+        return out
+
+    # --------------------------------------------------------------- io
+    def save(self, path: str, state: Optional[NetState] = None):
+        state = state if state is not None else self.state
+        arrays = {}
+        for l, w in enumerate(state.params.weights):
+            arrays[f"w{l}"] = np.asarray(w)
+        for l, b in enumerate(state.params.biases):
+            arrays[f"b{l}"] = np.asarray(b)
+        for l, w in enumerate(state.precisions.weights):
+            arrays[f"wp{l}"] = np.asarray(w)
+        for l, b in enumerate(state.precisions.biases):
+            arrays[f"bp{l}"] = np.asarray(b)
+        arrays["error_precision"] = np.asarray(state.precisions.error)
+        arrays["output_bias"] = np.asarray(state.output_bias)
+        arrays["output_bias_precision"] = np.asarray(state.output_bias_precision)
+        meta = {
+            "model_type": self.model_type,
+            "arch": {
+                "m": list(self.arch.m),
+                "h": list(self.arch.h),
+                "s": list(self.arch.s),
+                "depth": self.arch.depth,
+                "activation": self.arch.activation,
+                "pad_multiple": self.arch.pad_multiple,
+            },
+            "hyper": list(self.hyper),
+        }
+        arrays["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "Net":
+        z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        meta = json.loads(bytes(z["meta_json"]).decode())
+        a = meta["arch"]
+        arch = NetArch(
+            m=tuple(a["m"]), h=tuple(a["h"]), s=tuple(a["s"]), depth=a["depth"],
+            activation=a["activation"], pad_multiple=a["pad_multiple"],
+        )
+        L = arch.num_layers
+        params = StackedParams(
+            tuple(jnp.asarray(z[f"w{l}"]) for l in range(L)),
+            tuple(jnp.asarray(z[f"b{l}"]) for l in range(L - 1)),
+        )
+        precisions = StackedPrecisions(
+            tuple(jnp.asarray(z[f"wp{l}"]) for l in range(L)),
+            tuple(jnp.asarray(z[f"bp{l}"]) for l in range(L - 1)),
+            jnp.asarray(z["error_precision"]),
+        )
+        state = NetState(
+            params, precisions,
+            jnp.asarray(z["output_bias"]),
+            jnp.asarray(z["output_bias_precision"]),
+        )
+        return Net(
+            meta["model_type"], arch, D.Hyperparameters(*meta["hyper"]), state
+        )
+
+    def perturb(self, params_by: Optional[float], precisions_by: Optional[float]):
+        """Additive perturbation of true (unpadded) entries (net.rs:187-199)."""
+        mw = P.weight_masks(self.arch)
+        mb = P.bias_masks(self.arch)
+        s = self.state
+        if params_by is not None:
+            s = s._replace(
+                params=StackedParams(
+                    tuple(w + params_by * m for w, m in zip(s.params.weights, mw)),
+                    tuple(b + params_by * m for b, m in zip(s.params.biases, mb)),
+                )
+            )
+        if precisions_by is not None:
+            s = s._replace(
+                precisions=StackedPrecisions(
+                    tuple(w + precisions_by for w in s.precisions.weights),
+                    tuple(b + precisions_by for b in s.precisions.biases),
+                    s.precisions.error + precisions_by,
+                )
+            )
+        self.state = s
+        return self
+
+    # ------------------------------------------------------------- training
+    def init_carry(self, X, y, key) -> TrainCarry:
+        """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171)."""
+        residual = y - self.predict(X)
+        statics = D.branch_statics(self.arch)
+        s = self.state
+
+        def local(w_g, b_g, wp_g, bp_g, st_g):
+            return D.joint_local_term(
+                self.model_type, w_g, b_g, wp_g, bp_g, self.hyper, st_g
+            )
+
+        lpd_local = jax.vmap(local)(
+            s.params.weights, s.params.biases,
+            s.precisions.weights, s.precisions.biases, statics,
+        )
+        reg_all = _reg_all(self.model_type, s.params)
+        w0 = tuple(w[0] for w in s.params.weights)
+        wp0 = tuple(a[0] for a in s.precisions.weights)
+        lpd_out = D.joint_output_term(
+            self.model_type, w0, wp0, self.hyper,
+            reg_all - D.summary_stat(self.model_type, w0[-1]),
+            jnp.asarray(float(self.arch.total_output_weights)),
+        )
+        lpd_rss = D.joint_rss_term(
+            s.precisions.error, jnp.sum(residual**2), self.hyper,
+            jnp.asarray(residual.shape[0], jnp.float32),
+        )
+        return TrainCarry(
+            state=s,
+            residual=residual,
+            lpd_local=lpd_local,
+            lpd_out=lpd_out,
+            lpd_rss=lpd_rss,
+            counts=jnp.zeros(3, jnp.int32),
+            key=key,
+        )
+
+    def make_sweep(self, cfg: MCMCCfg):
+        return make_sweep(
+            self.model_type, self.arch.activation, self.arch, cfg, self.hyper
+        )

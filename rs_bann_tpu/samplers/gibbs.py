@@ -1,0 +1,70 @@
+"""Conjugate Gibbs updates for precision hyperparameters.
+
+TPU-native equivalents of /root/reference/src/net/gibbs_steps.rs:9-129: all
+draws are ``jax.random.gamma`` with batched shape/scale arrays, so per-row ARD
+updates across a whole layer (and across branches/chains under vmap) are a
+single vectorized draw instead of the reference's host-loop of rand_distr
+samples (ridge_ard.rs:271-301).
+
+Parameterization: Gamma(shape k, scale θ); ``jax.random.gamma(key, k) * θ``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gamma(key, shape, scale):
+    """Independent Gamma(shape, scale) draws, one per element of the
+    broadcast of (shape, scale)."""
+    out_shape = jnp.broadcast_shapes(jnp.shape(shape), jnp.shape(scale))
+    shape_b = jnp.broadcast_to(jnp.asarray(shape, jnp.float32), out_shape)
+    return jax.random.gamma(key, shape_b) * scale
+
+
+def ridge_precision_posterior(key, prior_shape, prior_scale, sum_of_squares, n):
+    """λ | w ~ Gamma(k + n/2, 2s / (2 + s·Σw²)) — gibbs_steps.rs:76-94.
+
+    Broadcasts over array-shaped ``sum_of_squares`` / ``n`` with independent
+    per-element draws (the reference loops host draws, ridge_ard.rs:280-291).
+    """
+    shape = prior_shape + n / 2.0
+    scale = 2.0 * prior_scale / (2.0 + prior_scale * sum_of_squares)
+    return _gamma(key, shape, scale)
+
+
+def lasso_precision_posterior(key, prior_shape, prior_scale, sum_of_abs, n):
+    """λ | w ~ Gamma(k + n, s / (1 + s·Σ|w|)) — gibbs_steps.rs:25-39."""
+    shape = prior_shape + n
+    scale = prior_scale / (1.0 + prior_scale * sum_of_abs)
+    return _gamma(key, shape, scale)
+
+
+def ridge_single_precision_posterior(key, prior_shape, prior_scale, value):
+    """Scalar-parameter case (gibbs_steps.rs:9-23), used for the output bias
+    prior precision (net.rs:56-67)."""
+    return ridge_precision_posterior(key, prior_shape, prior_scale, value * value, 1.0)
+
+
+def error_precision_posterior(key, hyper, residual):
+    """λ_e | r ~ ridge posterior on the residual vector.
+
+    The reference uses the *output layer* hyperparams for the error precision
+    prior (branch_sampler.rs:190-202).
+    """
+    rss = jnp.sum(residual * residual)
+    n = jnp.asarray(residual.shape[-1], jnp.float32)
+    return ridge_precision_posterior(key, hyper.output_shape, hyper.output_scale, rss, n)
+
+
+def sample_output_bias(key, residual_plus_bias, error_precision, bias_precision):
+    """Normal posterior draw of the global intercept (net.rs:47-53).
+
+    ``residual_plus_bias`` is the residual with the current bias added back.
+    """
+    n = jnp.asarray(residual_plus_bias.shape[-1], jnp.float32)
+    denom = n * error_precision + bias_precision
+    mean = error_precision / denom * jnp.sum(residual_plus_bias)
+    std = jnp.sqrt(1.0 / denom)
+    return mean + std * jax.random.normal(key, ())

@@ -1,0 +1,448 @@
+"""Hamiltonian Monte Carlo for one branch, as compiled ``lax.scan`` loops.
+
+TPU-native rebuild of the reference's ``hmc_step`` / ``hmc_step_joint`` /
+``gradient_descent`` (/root/reference/src/net/branch/branch_sampler.rs:
+1192-1299, 1070-1178, 964-1016):
+
+  * The leapfrog loop is a ``lax.scan`` over a static number of integration
+    steps. The reference's mid-trajectory abort on Hamiltonian error
+    (branch_sampler.rs:1264-1279) becomes a masked no-op continuation: once
+    the |ΔH| threshold is crossed (or H goes NaN), the carried state freezes
+    and the step is counted as RejectedEarly, restoring the initial state —
+    observably identical, but jit-compatible.
+  * Gradients come from ``jax.value_and_grad`` of the log density, which also
+    yields U(q) and the branch prediction in the same fused forward pass —
+    the reference pays an extra forward pass per step for its Hamiltonian
+    check (branch_sampler.rs:905-909,1253).
+  * Momentum is sampled masked so padded (ragged-width) coordinates never
+    move.
+
+Step-size modes (mcmc_cfg.rs:264-270 and per-branch impls):
+  izmailov   ε = factor·π/(2√λ·L) per weight group (ridge/std_normal;
+             ridge_base.rs:82-115); lasso uses factor/(4λL)
+             (lasso_base.rs:84-117)
+  std_scaled ε = factor/√λ (ridge_base.rs:52-80); extended elementwise to ARD
+             (the reference left ARD unimplemented)
+  random     ε ~ U(0,1)·factor·n_params^(-1/4) per coordinate
+             (branch_sampler.rs:654-704)
+  uniform    ε = factor (branch_sampler.rs:706-732)
+
+Result codes: 0 = accepted, 1 = rejected at end, 2 = rejected early.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import density as D
+from .mcmc_cfg import MCMCCfg
+
+ACCEPTED, REJECTED, REJECTED_EARLY = 0, 1, 2
+
+
+class HMCResult(NamedTuple):
+    weights: tuple
+    biases: tuple
+    code: jax.Array  # int32, one of ACCEPTED/REJECTED/REJECTED_EARLY
+    y_pred: jax.Array  # [n] prediction at the RETURNED params
+    log_density: jax.Array  # -U at the returned params
+
+
+def _tree_mul_add(xs, eps, ps, frac=1.0):
+    return tuple(x + frac * e * p for x, e, p in zip(xs, eps, ps))
+
+
+def _kinetic(*momenta_trees):
+    k = 0.0
+    for tree in momenta_trees:
+        for p in tree:
+            k = k + jnp.sum(p * p)
+    return 0.5 * k
+
+
+def step_sizes(
+    key,
+    model_type: str,
+    cfg: MCMCCfg,
+    weights,
+    biases,
+    w_precisions,
+    b_precisions,
+    n_params,
+):
+    """Per-coordinate leapfrog step sizes for (weights, biases)."""
+    mode = cfg.hmc_step_size_mode
+    factor = cfg.hmc_step_size_factor
+    L = cfg.hmc_integration_length
+    if mode == "uniform":
+        eps_w = tuple(jnp.full(w.shape, factor) for w in weights)
+        eps_b = tuple(jnp.full(b.shape, factor) for b in biases)
+    elif mode == "random":
+        prop = n_params ** (-0.25) * factor
+        keys = jax.random.split(key, len(weights) + len(biases))
+        eps_w = tuple(
+            jax.random.uniform(k, w.shape) * prop for k, w in zip(keys, weights)
+        )
+        eps_b = tuple(
+            jax.random.uniform(k, b.shape) * prop
+            for k, b in zip(keys[len(weights) :], biases)
+        )
+    elif mode == "std_scaled":
+        eps_w = tuple(
+            jnp.broadcast_to(factor / jnp.sqrt(lam), w.shape)
+            for w, lam in zip(weights, w_precisions)
+        )
+        eps_b = tuple(
+            jnp.broadcast_to(factor / jnp.sqrt(lam), b.shape)
+            for b, lam in zip(biases, b_precisions)
+        )
+    elif mode == "izmailov":
+        if D.is_lasso(model_type):
+            eps_w = tuple(
+                jnp.broadcast_to(factor / (4.0 * lam * L), w.shape)
+                for w, lam in zip(weights, w_precisions)
+            )
+        else:
+            fac = 1.0 if model_type == "std_normal" else factor
+            eps_w = tuple(
+                jnp.broadcast_to(fac * math.pi / (2.0 * jnp.sqrt(lam) * L), w.shape)
+                for w, lam in zip(weights, w_precisions)
+            )
+        bias_fac = 1.0 if model_type == "std_normal" else factor
+        eps_b = tuple(
+            jnp.broadcast_to(bias_fac * math.pi / (2.0 * jnp.sqrt(lam) * L), b.shape)
+            for b, lam in zip(biases, b_precisions)
+        )
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    return eps_w, eps_b
+
+
+def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
+    """Build the jittable marginal HMC transition for one branch.
+
+    Returned signature:
+      hmc(key, weights, biases, w_precisions, b_precisions, error_precision,
+          x, y, masks_w, masks_b, n_params) -> HMCResult
+    """
+    L = cfg.hmc_integration_length
+    max_err = cfg.hmc_max_hamiltonian_error
+
+    def potential(weights, biases, w_precisions, error_precision, x, y):
+        _, acts = D.forward(act_name, weights, biases, x)
+        y_pred = acts[-1][:, 0]
+        r = y_pred - y
+        rss = jnp.sum(r * r)
+        ld = D.log_density(
+            model_type, weights, biases, w_precisions, error_precision, rss
+        )
+        return ld, y_pred
+
+    vg = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def hmc(
+        key,
+        weights,
+        biases,
+        w_precisions,
+        b_precisions,
+        error_precision,
+        x,
+        y,
+        masks_w,
+        masks_b,
+        n_params,
+    ):
+        k_eps, k_mom, k_acc = jax.random.split(key, 3)
+        eps_w, eps_b = step_sizes(
+            k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions, n_params
+        )
+        mkeys = jax.random.split(k_mom, len(weights) + len(biases))
+        p_w = tuple(
+            jax.random.normal(k, w.shape) * m
+            for k, w, m in zip(mkeys, weights, masks_w)
+        )
+        p_b = tuple(
+            jax.random.normal(k, b.shape) * m
+            for k, b, m in zip(mkeys[len(weights) :], biases, masks_b)
+        )
+
+        (ld0, y_pred0), (g_w, g_b) = vg(
+            weights, biases, w_precisions, error_precision, x, y
+        )
+        neg_h0 = ld0 - _kinetic(p_w, p_b)
+
+        init = (weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0, jnp.asarray(False))
+
+        def body(carry, _):
+            w, b, pw, pb, gw, gb, ld, yp, dead = carry
+            pw1 = _tree_mul_add(pw, eps_w, gw, 0.5)
+            pb1 = _tree_mul_add(pb, eps_b, gb, 0.5)
+            w1 = _tree_mul_add(w, eps_w, pw1)
+            b1 = _tree_mul_add(b, eps_b, pb1)
+            (ld1, yp1), (gw1, gb1) = vg(w1, b1, w_precisions, error_precision, x, y)
+            pw1 = _tree_mul_add(pw1, eps_w, gw1, 0.5)
+            pb1 = _tree_mul_add(pb1, eps_b, gb1, 0.5)
+            neg_h = ld1 - _kinetic(pw1, pb1)
+            # NaN-safe: NaN comparisons are False, so ~(|ΔH| <= max) catches NaN
+            dead1 = dead | ~(jnp.abs(neg_h - neg_h0) <= max_err)
+            keep = lambda old, new: jax.tree.map(
+                lambda o, n: jnp.where(dead1, o, n), old, new
+            )
+            new = (
+                keep(w, w1),
+                keep(b, b1),
+                keep(pw, pw1),
+                keep(pb, pb1),
+                keep(gw, gw1),
+                keep(gb, gb1),
+                jnp.where(dead1, ld, ld1),
+                jnp.where(dead1, yp, yp1),
+                dead1,
+            )
+            return new, neg_h
+
+        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead), _ = jax.lax.scan(
+            body, init, None, length=L
+        )
+
+        neg_h_f = ld_f - _kinetic(pw_f, pb_f)
+        log_acc = neg_h_f - neg_h0
+        u = jax.random.uniform(k_acc, ())
+        # accepted iff not dead and u < exp(log_acc); NaN log_acc -> reject
+        mh_ok = jnp.log(u) < log_acc
+        accepted = ~dead & mh_ok
+        code = jnp.where(dead, REJECTED_EARLY, jnp.where(mh_ok, ACCEPTED, REJECTED))
+        sel = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(accepted, n, o), new, old
+        )
+        return HMCResult(
+            weights=sel(w_f, weights),
+            biases=sel(b_f, biases),
+            code=code.astype(jnp.int32),
+            y_pred=jnp.where(accepted, yp_f, y_pred0),
+            log_density=jnp.where(accepted, ld_f, ld0),
+        )
+
+    return hmc
+
+
+def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
+    """Joint HMC over params AND precisions (branch_sampler.rs:1070-1178).
+
+    The reference always falls back to random step sizes for joint sampling
+    (branch_sampler.rs:1094-1099); we do the same.
+
+    Returned signature:
+      hmc(key, weights, biases, w_prec, b_prec, err_prec, x, y, masks_w,
+          masks_b, n_params, n_precisions, hyper, statics_g, reg_sum_others,
+          n_out_global)
+        -> (HMCResult, new_w_prec, new_b_prec, new_err_prec)
+    """
+    L = cfg.hmc_integration_length
+    max_err = cfg.hmc_max_hamiltonian_error
+    factor = cfg.hmc_step_size_factor
+
+    def potential(wb, precs, x, y, hyper, statics_g, reg_sum_others, n_out_global):
+        weights, biases = wb
+        w_prec, b_prec, err_prec = precs
+        _, acts = D.forward(act_name, weights, biases, x)
+        y_pred = acts[-1][:, 0]
+        r = y_pred - y
+        rss = jnp.sum(r * r)
+        ld = D.log_density_joint(
+            model_type,
+            weights,
+            biases,
+            w_prec,
+            b_prec,
+            err_prec,
+            rss,
+            hyper,
+            statics_g,
+            reg_sum_others,
+            n_out_global,
+            jnp.asarray(y.shape[0], jnp.float32),
+        )
+        return ld, y_pred
+
+    vg = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def hmc(
+        key,
+        weights,
+        biases,
+        w_prec,
+        b_prec,
+        err_prec,
+        x,
+        y,
+        masks_w,
+        masks_b,
+        n_params,
+        n_precisions,
+        hyper,
+        statics_g,
+        reg_sum_others,
+        n_out_global,
+    ):
+        k_eps, k_mom, k_acc = jax.random.split(key, 3)
+        prop = (n_params + n_precisions) ** (-0.25) * factor
+        q0 = (
+            (weights, biases),
+            (w_prec, b_prec, jnp.asarray(err_prec, jnp.float32)),
+        )
+        masks = (
+            (masks_w, masks_b),
+            (
+                tuple(statics_g.row_masks[l] if w_prec[l].ndim == 2 and w_prec[l].shape[0] > 1 else jnp.ones_like(w_prec[l]) for l in range(len(w_prec))),
+                tuple(jnp.ones_like(b) for b in b_prec),
+                jnp.asarray(1.0),
+            ),
+        )
+        leaves, treedef = jax.tree.flatten(q0)
+        mask_leaves = jax.tree.leaves(masks)
+        ekeys = jax.random.split(k_eps, len(leaves))
+        mkeys = jax.random.split(k_mom, len(leaves))
+        eps = [jax.random.uniform(k, l.shape) * prop for k, l in zip(ekeys, leaves)]
+        mom = [
+            jax.random.normal(k, l.shape) * m
+            for k, l, m in zip(mkeys, leaves, mask_leaves)
+        ]
+
+        def unflat(ls):
+            return jax.tree.unflatten(treedef, ls)
+
+        def vg_flat(ls):
+            (ld, yp), g = vg(
+                *unflat(ls), x, y, hyper, statics_g, reg_sum_others, n_out_global
+            )
+            return ld, yp, jax.tree.leaves(g)
+
+        ld0, yp0, g0 = vg_flat(leaves)
+        k0 = 0.5 * sum(jnp.sum(p * p) for p in mom)
+        neg_h0 = ld0 - k0
+
+        def body(carry, _):
+            q, p, g, ld, yp, dead = carry
+            p1 = [pi + 0.5 * e * gi for pi, e, gi in zip(p, eps, g)]
+            q1 = [qi + e * pi for qi, e, pi in zip(q, eps, p1)]
+            ld1, yp1, g1 = vg_flat(q1)
+            p1 = [pi + 0.5 * e * gi for pi, e, gi in zip(p1, eps, g1)]
+            neg_h = ld1 - 0.5 * sum(jnp.sum(pi * pi) for pi in p1)
+            dead1 = dead | ~(jnp.abs(neg_h - neg_h0) <= max_err)
+            w = lambda o, n: jnp.where(dead1, o, n)
+            return (
+                [w(a, b) for a, b in zip(q, q1)],
+                [w(a, b) for a, b in zip(p, p1)],
+                [w(a, b) for a, b in zip(g, g1)],
+                w(ld, ld1),
+                w(yp, yp1),
+                dead1,
+            ), None
+
+        (q_f, p_f, _, ld_f, yp_f, dead), _ = jax.lax.scan(
+            body, (leaves, mom, g0, ld0, yp0, jnp.asarray(False)), None, length=L
+        )
+        neg_h_f = ld_f - 0.5 * sum(jnp.sum(pi * pi) for pi in p_f)
+        mh_ok = jnp.log(jax.random.uniform(k_acc, ())) < (neg_h_f - neg_h0)
+        accepted = ~dead & mh_ok
+        code = jnp.where(dead, REJECTED_EARLY, jnp.where(mh_ok, ACCEPTED, REJECTED))
+        sel = [jnp.where(accepted, n, o) for n, o in zip(q_f, leaves)]
+        (w_new, b_new), (wp_new, bp_new, ep_new) = unflat(sel)
+        res = HMCResult(
+            weights=w_new,
+            biases=b_new,
+            code=code.astype(jnp.int32),
+            y_pred=jnp.where(accepted, yp_f, yp0),
+            log_density=jnp.where(accepted, ld_f, ld0),
+        )
+        return res, wp_new, bp_new, ep_new
+
+    return hmc
+
+
+def make_gradient_descent(model_type: str, act_name: str, cfg: MCMCCfg):
+    """MAP optimization replacing HMC (branch_sampler.rs:964-1016): per
+    iteration, a doubling/halving line search on the rss along the log-density
+    gradient direction, as a ``lax.while_loop``."""
+    L = cfg.hmc_integration_length
+    factor = cfg.hmc_step_size_factor
+
+    def potential(weights, biases, w_precisions, error_precision, x, y):
+        _, acts = D.forward(act_name, weights, biases, x)
+        y_pred = acts[-1][:, 0]
+        r = y_pred - y
+        rss = jnp.sum(r * r)
+        ld = D.log_density(
+            model_type, weights, biases, w_precisions, error_precision, rss
+        )
+        return ld, (y_pred, rss)
+
+    vg = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def rss_at(weights, biases, x, y):
+        _, acts = D.forward(act_name, weights, biases, x)
+        r = acts[-1][:, 0] - y
+        return jnp.sum(r * r)
+
+    def gd(
+        key,
+        weights,
+        biases,
+        w_precisions,
+        b_precisions,
+        error_precision,
+        x,
+        y,
+        masks_w,
+        masks_b,
+        n_params,
+    ):
+        del key, b_precisions, n_params
+
+        def outer(carry, _):
+            w, b = carry
+            (_, _), (gw, gb) = vg(w, b, w_precisions, error_precision, x, y)
+
+            def probe(ss):
+                w1 = _tree_mul_add(w, [jnp.asarray(ss)] * len(gw), gw)
+                b1 = _tree_mul_add(b, [jnp.asarray(ss)] * len(gb), gb)
+                return rss_at(w1, b1, x, y)
+
+            ss0 = jnp.asarray(factor)
+            prev = probe(ss0)
+            fac = jnp.where(probe(2.0 * ss0) < prev, 2.0, 0.5)
+            ss = ss0 * fac
+            curr = probe(ss)
+
+            def cond(state):
+                _, prev_r, curr_r = state
+                return curr_r < prev_r
+
+            def step(state):
+                ss_i, _, curr_r = state
+                ss_n = ss_i * fac
+                return (ss_n, curr_r, probe(ss_n))
+
+            ss_f, _, _ = jax.lax.while_loop(cond, step, (ss, prev, curr))
+            ss_f = ss_f / fac
+            w = _tree_mul_add(w, [ss_f] * len(gw), gw)
+            b = _tree_mul_add(b, [ss_f] * len(gb), gb)
+            return (w, b), None
+
+        (w_f, b_f), _ = jax.lax.scan(outer, (weights, biases), None, length=L)
+        (ld, (yp, _)), _ = vg(w_f, b_f, w_precisions, error_precision, x, y)
+        return HMCResult(
+            weights=w_f,
+            biases=b_f,
+            code=jnp.asarray(ACCEPTED, jnp.int32),
+            y_pred=yp,
+            log_density=ld,
+        )
+
+    return gd

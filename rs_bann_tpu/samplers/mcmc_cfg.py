@@ -1,0 +1,67 @@
+"""MCMC configuration.
+
+Mirror of the reference ``MCMCCfg`` (/root/reference/src/net/mcmc_cfg.rs),
+as a frozen dataclass whose fields are static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+STEP_SIZE_MODES = ("uniform", "random", "std_scaled", "izmailov")
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCCfg:
+    hmc_step_size_factor: float = 1.0
+    hmc_max_hamiltonian_error: float = 10.0
+    hmc_integration_length: int = 100
+    hmc_step_size_mode: str = "izmailov"
+    chain_length: int = 100
+    burn_in: int = -1  # -1 -> chain_length - 1 (reference default, mcmc_cfg.rs:152-156)
+    outpath: str = "./"
+    trace: bool = False
+    trajectories: bool = False
+    num_grad_traj: bool = False
+    num_grad: bool = False
+    gradient_descent: bool = False
+    gradient_descent_joint: bool = False
+    joint_hmc: bool = False
+    fixed_param_precisions: bool = False
+    sampled_output_bias: bool = False
+    effect_sizes: bool = False
+    num_chains: int = 1  # TPU extension: vectorized chains (reference: 1)
+    seed: int = 0  # TPU extension: fully reproducible runs (reference: none)
+    update_mode: str = "sequential"  # "sequential" (reference-exact random-scan
+    # Gibbs) or "parallel" (block systematic-scan: all branches HMC against a
+    # frozen residual snapshot; shared scalars updated once per sweep)
+
+    def __post_init__(self):
+        if self.burn_in < 0:
+            object.__setattr__(self, "burn_in", max(self.chain_length - 1, 0))
+        assert self.hmc_step_size_mode in STEP_SIZE_MODES, self.hmc_step_size_mode
+        assert self.update_mode in ("sequential", "parallel")
+        if self.fixed_param_precisions:
+            assert not (self.joint_hmc or self.gradient_descent_joint), (
+                "Fixed precisions and joint hmc / gd are mutually exclusive"
+            )
+
+    # ---- output path helpers (mcmc_cfg.rs:232-262)
+    def hyperparam_path(self):
+        return os.path.join(self.outpath, "hyperparams")
+
+    def trace_path(self):
+        return os.path.join(self.outpath, "trace")
+
+    def trajectories_path(self):
+        return os.path.join(self.outpath, "traj")
+
+    def args_path(self):
+        return os.path.join(self.outpath, "args.json")
+
+    def models_path(self):
+        return os.path.join(self.outpath, "models")
+
+    def effect_sizes_path(self):
+        return os.path.join(self.outpath, "effect_sizes")

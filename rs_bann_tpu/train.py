@@ -1,0 +1,304 @@
+"""Training driver: runs the compiled Gibbs sweep for chain_length iterations,
+records statistics, writes posterior model samples and artifact streams.
+
+Mirrors the outer loop of the reference ``Net::train`` (/root/reference/src/
+net/net.rs:201-358) and its artifact conventions:
+  * ``models/<chain_ix>.npz``   posterior sample store (reference: bincode
+    ``models/<ix>.bin``, net.rs:339-342; we use npz pytrees)
+  * ``hyperparams``             JSON model hyperparameters (net.rs:149-156)
+  * ``trace``                   JSONL, one line per iteration with all branch
+                                params/precisions (net.rs:349-352)
+  * ``training_stats``          JSON acceptance counts + mse/lpd series
+                                (train_stats.rs:83-88)
+
+TPU extensions over the reference: multiple vectorized chains (a leading vmap
+axis; chains write to ``models/chain<k>/``), full reproducibility from a seed,
+and a block-parallel update mode.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import density as D
+from .models.data import StackedData
+from .models.init import DEFAULT_INIT_OUTPUT_LAYER_PRECISION
+from .models.net import Net, TrainCarry
+from .models.params import StackedPrecisions
+from .samplers.mcmc_cfg import MCMCCfg
+
+log = logging.getLogger("rs_bann_tpu")
+
+
+class TrainingStats:
+    """train_stats.rs:24-88 equivalent."""
+
+    def __init__(self):
+        self.num_samples = 0
+        self.num_accepted = 0
+        self.num_early_rejected = 0
+        self.mse_train = []
+        self.mse_test = None
+        self.lpd = []
+
+    def update_counts(self, counts):
+        self.num_accepted = int(counts[0])
+        self.num_early_rejected = int(counts[2])
+        self.num_samples = int(counts.sum())
+
+    def acceptance_rate(self):
+        return self.num_accepted / max(self.num_samples, 1)
+
+    def early_rejection_rate(self):
+        return self.num_early_rejected / max(self.num_samples, 1)
+
+    def end_rejection_rate(self):
+        return (
+            self.num_samples - self.num_early_rejected - self.num_accepted
+        ) / max(self.num_samples, 1)
+
+    def to_file(self, outdir):
+        with open(os.path.join(outdir, "training_stats"), "w") as f:
+            json.dump(
+                {
+                    "num_samples": self.num_samples,
+                    "num_accepted": self.num_accepted,
+                    "num_early_rejected": self.num_early_rejected,
+                    "mse_train": self.mse_train,
+                    "mse_test": self.mse_test,
+                    "lpd": self.lpd,
+                },
+                f,
+            )
+
+
+def _write_hyperparams(net: Net, cfg: MCMCCfg):
+    hp = {
+        "branch_hyperparams": [
+            {
+                "num_params": net.arch.num_params_branch(g),
+                "num_markers": net.arch.m[g],
+                "layer_widths": net.arch.layer_widths(g),
+            }
+            for g in range(net.arch.num_branches)
+        ],
+        "precision_hyperparams": {
+            "dense": {"shape": net.hyper.dense_shape, "scale": net.hyper.dense_scale},
+            "summary": {
+                "shape": net.hyper.summary_shape,
+                "scale": net.hyper.summary_scale,
+            },
+            "output": {
+                "shape": net.hyper.output_shape,
+                "scale": net.hyper.output_scale,
+            },
+        },
+    }
+    with open(cfg.hyperparam_path(), "w") as f:
+        json.dump(hp, f)
+
+
+def _trace_line(net: Net, state) -> dict:
+    """One trace record: all branch params + precisions (host side)."""
+    arch = net.arch
+    rec = []
+    for g in range(arch.num_branches):
+        ins = arch.layer_in_counts()
+        outs = arch.layer_out_counts()
+        weights = [
+            np.asarray(state.params.weights[l][g])[: ins[l][g], : outs[l][g]]
+            .reshape(-1, order="F")
+            .tolist()
+            for l in range(arch.num_layers)
+        ]
+        biases = [
+            np.asarray(state.params.biases[l][g])[: outs[l][g]].tolist()
+            for l in range(arch.num_layers - 1)
+        ]
+        wprec = [
+            np.asarray(state.precisions.weights[l][g]).reshape(-1).tolist()
+            for l in range(arch.num_layers)
+        ]
+        bprec = [
+            np.asarray(state.precisions.biases[l][g]).reshape(-1).tolist()
+            for l in range(arch.num_layers - 1)
+        ]
+        rec.append(
+            {
+                "num_markers": arch.m[g],
+                "layer_widths": arch.layer_widths(g),
+                "params": {"weights": weights, "biases": biases},
+                "precisions": {
+                    "weight_precisions": wprec,
+                    "bias_precisions": bprec,
+                    "error_precision": [float(np.asarray(state.precisions.error))],
+                },
+            }
+        )
+    return rec
+
+
+def prepare_state_for_training(net: Net, cfg_fixed_precision: Optional[float]):
+    """Inject the GlobalParams init into the state, as the reference's first
+    ``update_global_params`` does (architectures.rs:216-236, net.rs:262):
+    error precision 2.0, output layer precision 0.05 (or the fixed value)."""
+    lam_out = (
+        cfg_fixed_precision
+        if cfg_fixed_precision is not None
+        else DEFAULT_INIT_OUTPUT_LAYER_PRECISION
+    )
+    if net.model_type == "std_normal":
+        lam_out = 1.0
+    p = net.state.precisions
+    wp = tuple(
+        jnp.full_like(p.weights[l], lam_out)
+        if l == net.arch.num_layers - 1
+        else p.weights[l]
+        for l in range(net.arch.num_layers)
+    )
+    net.state = net.state._replace(
+        precisions=StackedPrecisions(wp, p.biases, jnp.asarray(2.0))
+    )
+    return net
+
+
+def train(
+    net: Net,
+    train_data: StackedData,
+    cfg: MCMCCfg,
+    test_data: Optional[StackedData] = None,
+    report_interval: int = 1,
+    verbose: bool = True,
+    fixed_param_precision: Optional[float] = None,
+):
+    """Run the MCMC chain(s). Returns (net, TrainingStats).
+
+    ``net.state`` is left at the final iteration of chain 0.
+    """
+    os.makedirs(cfg.outpath, exist_ok=True)
+    save_models = cfg.chain_length > cfg.burn_in
+    if save_models:
+        os.makedirs(cfg.models_path(), exist_ok=True)
+    _write_hyperparams(net, cfg)
+    prepare_state_for_training(net, fixed_param_precision)
+
+    sweep = net.make_sweep(cfg)
+    C = cfg.num_chains
+    X, y = train_data.X, train_data.y
+
+    if C == 1:
+        sweep_jit = jax.jit(sweep)
+        key = jax.random.key(cfg.seed)
+        carry = net.init_carry(X, y, key)
+    else:
+        sweep_jit = jax.jit(jax.vmap(sweep, in_axes=(0, None, None)))
+        keys = jax.random.split(jax.random.key(cfg.seed), C)
+        carry = jax.vmap(lambda k: net.init_carry(X, y, k))(keys)
+
+    stats = TrainingStats()
+    trace_f = open(cfg.trace_path(), "w") if cfg.trace else None
+
+    def record(carry, sweep_stats=None):
+        if sweep_stats is None:
+            if C == 1:
+                mse_train = float(jnp.sum(carry.residual**2) / y.shape[0])
+                lpd = float(
+                    carry.lpd_rss + carry.lpd_out + jnp.sum(carry.lpd_local)
+                )
+            else:
+                mse_train = float(
+                    jnp.mean(jnp.sum(carry.residual**2, axis=-1)) / y.shape[0]
+                )
+                lpd = float(
+                    jnp.mean(
+                        carry.lpd_rss
+                        + carry.lpd_out
+                        + jnp.sum(carry.lpd_local, axis=-1)
+                    )
+                )
+        else:
+            mse_train = float(jnp.mean(sweep_stats.mse_train))
+            lpd = float(jnp.mean(sweep_stats.lpd))
+        stats.mse_train.append(mse_train)
+        stats.lpd.append(lpd)
+        if test_data is not None:
+            if C == 1:
+                mse_t = float(net.mse(test_data.X, test_data.y, carry.state))
+            else:
+                mse_t = float(
+                    jnp.mean(
+                        jax.vmap(lambda s: net.mse(test_data.X, test_data.y, s))(
+                            carry.state
+                        )
+                    )
+                )
+            if stats.mse_test is None:
+                stats.mse_test = []
+            stats.mse_test.append(mse_t)
+
+    def save_sample(carry, ix):
+        if C == 1:
+            net.save(os.path.join(cfg.models_path(), f"{ix}.npz"), carry.state)
+        else:
+            for c in range(C):
+                d = os.path.join(cfg.models_path(), f"chain{c}")
+                os.makedirs(d, exist_ok=True)
+                net.save(
+                    os.path.join(d, f"{ix}.npz"),
+                    jax.tree.map(lambda a: a[c], carry.state),
+                )
+
+    def emit_trace(carry):
+        if trace_f is None:
+            return
+        st = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
+        trace_f.write(json.dumps(_trace_line(net, st)) + "\n")
+
+    record(carry)
+    emit_trace(carry)
+    if cfg.burn_in == 0 and save_models:
+        save_sample(carry, 0)
+
+    t0 = time.time()
+    for chain_ix in range(1, cfg.chain_length + 1):
+        carry, sweep_stats = sweep_jit(carry, X, y)
+        record(carry, sweep_stats)
+        counts = np.asarray(sweep_stats.counts)
+        if C > 1:
+            counts = counts.sum(axis=0)
+        stats.update_counts(counts)
+        if chain_ix >= cfg.burn_in and save_models:
+            save_sample(carry, chain_ix)
+        emit_trace(carry)
+        if verbose and chain_ix % report_interval == 0:
+            msg = (
+                f"i: {chain_ix} \t | acc: {stats.acceptance_rate():.2f} \t | "
+                f"early_rej: {stats.early_rejection_rate():.2f} \t | "
+                f"end_rej: {stats.end_rejection_rate():.2f} \t | "
+                f"mse(trn): {stats.mse_train[-1]:.4f}"
+            )
+            if stats.mse_test is not None:
+                msg += f" \t | mse(tst): {stats.mse_test[-1]:.4f}"
+            msg += f" | lpd: {stats.lpd[-1]:.4f}"
+            log.info(msg)
+
+    elapsed = time.time() - t0
+    if verbose:
+        lf = cfg.chain_length * cfg.hmc_integration_length * net.arch.num_branches * C
+        log.info(
+            "Completed training: %.2fs, %.0f leapfrog steps/s", elapsed, lf / elapsed
+        )
+    if trace_f is not None:
+        trace_f.close()
+    stats.to_file(cfg.outpath)
+
+    net.state = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
+    return net, stats

@@ -1,0 +1,174 @@
+"""End-to-end training tests: seeded sim -> train -> predictive r².
+
+This closes the reference's biggest test gap (SURVEY.md §4: no end-to-end
+Net::train test exists upstream).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_bann_tpu.models import density as D
+from rs_bann_tpu.models.arch import NetArch
+from rs_bann_tpu.models.data import stack_standardized
+from rs_bann_tpu.models.init import InitCfg, init_net
+from rs_bann_tpu.models.net import Net
+from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+from rs_bann_tpu.train import train
+
+
+def simulate(arch, model_type, h2, seed=7, n=600):
+    rng = np.random.default_rng(seed)
+    true_state, _ = init_net(
+        arch, model_type, InitCfg(init_gamma_shape=3.0, init_gamma_scale=1.0, seed=seed)
+    )
+    true_net = Net(model_type, arch, D.Hyperparameters(), true_state)
+    m_tot = sum(arch.m)
+    maf = rng.uniform(0.05, 0.5, size=m_tot)
+    cols_tr, cols_te, off = [], [], 0
+    Xtr = rng.binomial(2, maf, size=(n, m_tot)).astype(np.float32)
+    Xte = rng.binomial(2, maf, size=(n, m_tot)).astype(np.float32)
+    for g in range(arch.num_branches):
+        cols_tr.append(Xtr[:, off : off + arch.m[g]])
+        cols_te.append(Xte[:, off : off + arch.m[g]])
+        off += arch.m[g]
+    dtr = stack_standardized(arch, cols_tr, np.zeros(n))
+    dte = stack_standardized(arch, cols_te, np.zeros(n))
+    g_tr = np.asarray(true_net.predict(dtr.X))
+    g_te = np.asarray(true_net.predict(dte.X))
+    y_tr = g_tr + rng.normal(0, np.sqrt(g_tr.var() * (1 / h2 - 1)), n)
+    y_te = g_te + rng.normal(0, np.sqrt(g_te.var() * (1 / h2 - 1)), n)
+    return (
+        dtr._replace(y=jnp.asarray(y_tr.astype(np.float32))),
+        dte._replace(y=jnp.asarray(y_te.astype(np.float32))),
+    )
+
+
+@pytest.mark.parametrize("update_mode", ["sequential", "parallel"])
+def test_train_multibranch_r2(tmp_path, update_mode):
+    arch = NetArch(m=(10, 10, 10), h=(5, 5, 5), s=(5, 5, 5), depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.8)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=40,
+        burn_in=20,
+        hmc_integration_length=100,
+        hmc_step_size_mode="izmailov",
+        outpath=str(tmp_path / update_mode),
+        seed=3,
+        update_mode=update_mode,
+    )
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+    yhat = np.asarray(net.predict(dte.X))
+    r2 = np.corrcoef(yhat, np.asarray(dte.y))[0, 1] ** 2
+    assert r2 > 0.25, f"test r2 too low: {r2}"
+    assert stats.mse_train[-1] < stats.mse_train[0]
+    # posterior samples saved
+    models = os.listdir(cfg.models_path())
+    assert len(models) == cfg.chain_length - cfg.burn_in + 1
+
+
+def test_train_is_reproducible(tmp_path):
+    arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.6, n=200)
+    outs = []
+    for rep in range(2):
+        state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+        net = Net("ridge_base", arch, D.Hyperparameters(), state)
+        cfg = MCMCCfg(
+            chain_length=5,
+            burn_in=5,
+            hmc_integration_length=30,
+            outpath=str(tmp_path / f"rep{rep}"),
+            seed=9,
+        )
+        net, _ = train(net, dtr, cfg, verbose=False)
+        outs.append(np.asarray(net.predict(dte.X)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_multichain(tmp_path):
+    arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.6, n=200)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=4,
+        burn_in=2,
+        hmc_integration_length=20,
+        outpath=str(tmp_path),
+        seed=9,
+        num_chains=3,
+    )
+    net, stats = train(net, dtr, cfg, verbose=False)
+    assert stats.num_samples == 4 * 3  # 4 sweeps x 1 branch x 3 chains
+    assert os.path.isdir(os.path.join(cfg.models_path(), "chain2"))
+
+
+@pytest.mark.parametrize(
+    "model_type", ["ridge_ard", "lasso_base", "lasso_ard", "std_normal"]
+)
+def test_all_families_train(tmp_path, model_type):
+    arch = NetArch(m=(6, 6), h=(3, 3), s=(3, 3), depth=1)
+    dtr, _ = simulate(arch, model_type, h2=0.7, n=200)
+    state, _ = init_net(arch, model_type, InitCfg(seed=1))
+    net = Net(model_type, arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=5,
+        burn_in=5,
+        hmc_integration_length=20,
+        outpath=str(tmp_path / model_type),
+        seed=2,
+    )
+    net, stats = train(net, dtr, cfg, verbose=False)
+    assert np.isfinite(stats.mse_train[-1])
+    assert np.isfinite(stats.lpd[-1])
+
+
+def test_save_load_round_trip(tmp_path):
+    arch = NetArch(m=(6, 4), h=(3, 2), s=(3, 2), depth=1)
+    state, _ = init_net(arch, "lasso_ard", InitCfg(seed=4))
+    net = Net("lasso_ard", arch, D.Hyperparameters(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), state)
+    p = str(tmp_path / "model.npz")
+    net.save(p)
+    net2 = Net.load(p)
+    assert net2.model_type == "lasso_ard"
+    assert net2.arch == arch
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((2, 50, arch.m_pad)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(net.predict(X)), np.asarray(net2.predict(X)), rtol=1e-6
+    )
+
+
+def test_joint_hmc_runs(tmp_path):
+    arch = NetArch(m=(6,), h=(3,), s=(3,), depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.7, n=150)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=5, burn_in=5, hmc_integration_length=10,
+        outpath=str(tmp_path), seed=2, joint_hmc=True,
+        hmc_step_size_factor=0.01,
+    )
+    net, stats = train(net, dtr, cfg, verbose=False)
+    assert np.isfinite(stats.lpd[-1])
+    assert float(net.state.precisions.error) > 0
+
+
+def test_gradient_descent_mode(tmp_path):
+    arch = NetArch(m=(6,), h=(3,), s=(3,), depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.9, n=150)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=5, burn_in=5, hmc_integration_length=10,
+        outpath=str(tmp_path), seed=2, gradient_descent=True,
+        hmc_step_size_factor=1e-4,
+    )
+    net, stats = train(net, dtr, cfg, verbose=False)
+    assert stats.mse_train[-1] < stats.mse_train[0]
