@@ -1,0 +1,645 @@
+"""Command-line interface.
+
+Rebuild of the reference's 12 clap subcommands
+(/root/reference/src/bin/cli/cli.rs:19-60, /root/reference/src/bin/
+rs-bann.rs:44-98): group-by-genes, group-by-ld, simulate-y, simulate-xy,
+train-new, train, predict, branch-r2, activations, gradients,
+population-effect-sizes, available-backends.
+
+Conventions preserved: run directories encode the hyperparameter set with an
+auto-incremented _rep<k> suffix (rs-bann.rs:1019-1068), model args persist to
+args.json which downstream commands re-read to recover the model type
+(rs-bann.rs:168-173), predict/branch-r2 scan the sorted models dir and emit
+CSV to stdout (rs-bann.rs:276-312).
+
+TPU extensions: --num-chains, --seed, --update-mode {sequential,parallel},
+--cpu (force the CPU backend; the default backend is whatever jax selects,
+i.e. the TPU when present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+MODEL_TYPES = {
+    "ridge-base": "ridge_base",
+    "ridge-ard": "ridge_ard",
+    "lasso-base": "lasso_base",
+    "lasso-ard": "lasso_ard",
+    "std-normal": "std_normal",
+    "linear": "linear",
+    # also accept snake_case
+    "ridge_base": "ridge_base",
+    "ridge_ard": "ridge_ard",
+    "lasso_base": "lasso_base",
+    "lasso_ard": "lasso_ard",
+    "std_normal": "std_normal",
+}
+
+ACTIVATIONS = ["tanh", "relu", "leaky_relu", "silu", "identity"]
+STEP_SIZE_MODES = ["uniform", "random", "std_scaled", "izmailov", "dual_averaging"]
+
+
+def _model_type(s: str) -> str:
+    if s not in MODEL_TYPES:
+        raise argparse.ArgumentTypeError(
+            f"unknown model type {s!r}; choose from {sorted(set(MODEL_TYPES))}"
+        )
+    return MODEL_TYPES[s]
+
+
+def _force_cpu_if(flag: bool):
+    if flag:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _add_mcmc_args(p: argparse.ArgumentParser):
+    """MCMCArgs (cli.rs:86-153)."""
+    p.add_argument("chain_length", type=int, help="full model chain length")
+    p.add_argument("integration_length", type=int, help="hmc integration length")
+    p.add_argument("--max-hamiltonian-error", type=float, default=10.0)
+    p.add_argument("--step-size", type=float, default=1.0)
+    p.add_argument("--report-interval", type=int, default=1)
+    p.add_argument("--fixed-param-precision", type=float, default=None)
+    p.add_argument("--step-size-mode", choices=STEP_SIZE_MODES, default="izmailov")
+    p.add_argument("-d", "--debug-prints", action="store_true")
+    p.add_argument("--trace", action="store_true")
+    p.add_argument("--trajectories", action="store_true")
+    p.add_argument("--num-grad-traj", action="store_true")
+    p.add_argument("--num-grad", action="store_true")
+    p.add_argument("--gradient-descent", action="store_true")
+    p.add_argument("--gradient-descent-joint", action="store_true")
+    p.add_argument("--burn-in", type=int, default=None)
+    p.add_argument("-j", "--joint-hmc", action="store_true")
+    # TPU extensions
+    p.add_argument("--num-chains", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--update-mode", choices=["sequential", "parallel"],
+                   default="sequential")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _add_train_io_args(p: argparse.ArgumentParser):
+    """TrainIOArgs (cli.rs:62-84)."""
+    p.add_argument("bfile_train", help="stem of train .bed(+.bim+.fam|.dims)")
+    p.add_argument("p_train", help="train phenotype .phen file")
+    p.add_argument("groups", help="path to grouping file")
+    p.add_argument("--bfile-test", default=None)
+    p.add_argument("--p-test", default=None)
+    p.add_argument("-o", "--outpath", default="./")
+
+
+def _load_train_data(args):
+    from ..group.grouping import ExternalGrouping
+    from ..io.bed import BedVM
+    from ..io.genotypes import CompressedGenotypes, Data
+    from ..io.phen import Phenotypes
+
+    grouping = ExternalGrouping.from_file(args.groups)
+    train = Data(
+        CompressedGenotypes(BedVM.from_file(args.bfile_train), grouping),
+        Phenotypes.from_file(args.p_train),
+    )
+    test = None
+    if args.bfile_test and args.p_test:
+        test = Data(
+            CompressedGenotypes(BedVM.from_file(args.bfile_test), grouping),
+            Phenotypes.from_file(args.p_test),
+        )
+    elif args.bfile_test or args.p_test:
+        logging.getLogger("rs_bann_tpu").info(
+            "No complete test data provided, proceeding without"
+        )
+    return train, test
+
+
+def _mcmc_cfg_from_args(args, outpath: str):
+    from ..samplers.mcmc_cfg import MCMCCfg
+
+    return MCMCCfg(
+        hmc_step_size_factor=args.step_size,
+        hmc_max_hamiltonian_error=args.max_hamiltonian_error,
+        hmc_integration_length=args.integration_length,
+        hmc_step_size_mode=args.step_size_mode,
+        chain_length=args.chain_length,
+        burn_in=args.burn_in if args.burn_in is not None else -1,
+        outpath=outpath,
+        trace=args.trace,
+        trajectories=args.trajectories,
+        num_grad_traj=args.num_grad_traj,
+        num_grad=args.num_grad,
+        gradient_descent=args.gradient_descent,
+        gradient_descent_joint=args.gradient_descent_joint,
+        joint_hmc=args.joint_hmc,
+        fixed_param_precisions=args.fixed_param_precision is not None,
+        num_chains=args.num_chains,
+        seed=args.seed,
+        update_mode=args.update_mode,
+    )
+
+
+def _run_outdir_name(args) -> str:
+    """train-new outdir naming (rs-bann.rs:1019-1066)."""
+    name = (
+        f"{args.model_type}_{args.activation_function}_d{args.branch_depth}"
+        f"_cl{args.chain_length}_il{args.integration_length}"
+        f"_{args.step_size_mode}_st{args.step_size}"
+        f"_dpk{args.dpk}_dps{args.dps}_spk{args.spk}_sps{args.sps}"
+        f"_opk{args.opk}_ops{args.ops}"
+    )
+    if args.joint_hmc:
+        name += "_joint"
+    if args.gradient_descent:
+        name += "_gd"
+    if args.gradient_descent_joint:
+        name += "_gdj"
+    if args.fixed_param_precision is not None:
+        name += f"_fp{args.fixed_param_precision}"
+    if args.fixed_hidden_layer_width is not None:
+        name += f"_fhlw{args.fixed_hidden_layer_width}"
+    else:
+        name += f"_rhlw{args.relative_hidden_layer_width}"
+    if args.fixed_summary_layer_width is not None:
+        name += f"_fslw{args.fixed_summary_layer_width}"
+    else:
+        name += f"_rslw{args.relative_summary_layer_width}"
+    return name
+
+
+# ----------------------------------------------------------- subcommands
+
+
+def cmd_group_by_genes(args):
+    from ..group.grouping import GeneGrouping
+
+    bim = Path(args.bim)
+    out = Path(args.outdir) / bim.stem
+    g = GeneGrouping.from_gff(args.gff, args.bim, args.margin, args.min_group_size)
+    # to_file writes stem.groups; reference writes .gene_grouping
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out.with_suffix(".gene_grouping"), "w") as f:
+        for gix in range(g.num_groups):
+            for mix in g.groups[gix]:
+                f.write(f"{mix}\t{gix}\n")
+    g.meta_to_file(out.with_suffix(".gene_grouping_meta"))
+    print(out.with_suffix(".gene_grouping"))
+
+
+def cmd_group_by_ld(args):
+    from ..group.grouping import CorrGraph
+
+    stem = Path(args.inpath)
+    out = Path(args.outdir) / stem.name
+    grouping = CorrGraph.from_plink_ld(
+        stem.with_suffix(".ld"), stem.with_suffix(".bim")
+    ).centered_grouping(args.min_group_size)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out.with_suffix(".centered_grouping"), "w") as f:
+        for gix in range(grouping.num_groups):
+            for mix in grouping.groups[gix]:
+                f.write(f"{mix}\t{gix}\n")
+    print(out.with_suffix(".centered_grouping"))
+
+
+def cmd_simulate_xy(args):
+    _force_cpu_if(args.cpu)
+    from ..sim import simulate_xy
+
+    res = simulate_xy(
+        args.outdir,
+        args.model_type,
+        args.activation_function,
+        args.num_markers_per_branch,
+        args.num_branches,
+        args.num_individuals,
+        args.hidden_layer_width,
+        args.branch_depth,
+        heritability=args.heritability,
+        summary_layer_width=args.summary_layer_width,
+        proportion_effective=args.proportion_effective,
+        num_effective=args.num_effective,
+        init_param_variance=args.init_param_variance,
+        init_gamma_shape=args.init_gamma_shape,
+        init_gamma_scale=args.init_gamma_scale,
+        json_data=args.json_data,
+        seed=args.seed,
+    )
+    print(res.outdir)
+
+
+def cmd_simulate_y(args):
+    _force_cpu_if(args.cpu)
+    from ..sim import simulate_y
+
+    res = simulate_y(
+        args.bfile_train,
+        args.bfile_test,
+        args.groups,
+        args.outdir,
+        args.model_type,
+        args.activation_function,
+        depth=args.depth,
+        heritability=args.heritability,
+        proportion_effective=args.proportion_effective,
+        num_effective=args.num_effective,
+        init_param_variance=args.init_param_variance,
+        init_gamma_shape=args.init_gamma_shape,
+        init_gamma_scale=args.init_gamma_scale,
+        json_data=args.json_data,
+        seed=args.seed,
+    )
+    print(res.outdir)
+
+
+def cmd_train_new(args):
+    _force_cpu_if(args.cpu)
+    from ..models import density as D
+    from ..models.arch import NetArch
+    from ..models.init import InitCfg, init_net
+    from ..models.net import Net
+    from ..sim import set_replicate_ix
+    from ..train import train
+
+    log = logging.getLogger("rs_bann_tpu")
+    log.info("Loading data.")
+    train_data, test_data = _load_train_data(args)
+
+    outdir = set_replicate_ix(args.outpath, _run_outdir_name(args))
+    cfg = _mcmc_cfg_from_args(args, str(outdir))
+    os.makedirs(outdir, exist_ok=True)
+    with open(cfg.args_path(), "w") as f:
+        json.dump({k: v for k, v in vars(args).items() if k != "func"}, f, indent=2)
+
+    hlwr = (
+        ("fixed", args.fixed_hidden_layer_width)
+        if args.fixed_hidden_layer_width is not None
+        else ("fraction_of_input", args.relative_hidden_layer_width)
+    )
+    slwr = (
+        ("fixed", args.fixed_summary_layer_width)
+        if args.fixed_summary_layer_width is not None
+        else ("fraction_of_hidden", args.relative_summary_layer_width)
+    )
+    log.info("Building net")
+    arch = NetArch.from_width_rules(
+        train_data.num_markers_per_branch(),
+        args.branch_depth,
+        hlwr,
+        slwr,
+        activation=args.activation_function,
+    )
+    state, _ = init_net(
+        arch,
+        args.model_type,
+        InitCfg(fixed_param_precision=args.fixed_param_precision, seed=args.seed),
+    )
+    hyper = D.Hyperparameters(
+        args.dpk, args.dps, args.spk, args.sps, args.opk, args.ops
+    )
+    net = Net(args.model_type, arch, hyper, state)
+    for g in range(arch.num_branches):
+        if arch.num_params_branch(g) > train_data.num_individuals:
+            log.warning(
+                "Num params > num individuals in branch %d (with %d params, %d individuals)",
+                g, arch.num_params_branch(g), train_data.num_individuals,
+            )
+    log.info("Training net")
+    dtr = train_data.to_stacked(arch)
+    dte = test_data.to_stacked(arch) if test_data is not None else None
+    train(
+        net, dtr, cfg, test_data=dte, report_interval=args.report_interval,
+        fixed_param_precision=args.fixed_param_precision,
+    )
+    print(outdir)
+
+
+def cmd_train(args):
+    _force_cpu_if(args.cpu)
+    from ..models.net import Net
+    from ..sim import set_replicate_ix
+    from ..train import train
+
+    log = logging.getLogger("rs_bann_tpu")
+    train_data, test_data = _load_train_data(args)
+    model_path = Path(args.model_file)
+    if not model_path.is_file():
+        log.error("Specified model: No such file found")
+        sys.exit(66)
+    name = (
+        f"{model_path.stem}_cl{args.chain_length}_il{args.integration_length}"
+        f"_{args.step_size_mode}_st{args.step_size}"
+        f"_dtheta{args.perturb_params or 0.0}_dlambda{args.perturb_precisions or 0.0}"
+    )
+    if args.joint_hmc:
+        name += "_joint"
+    if args.gradient_descent:
+        name += "_gd"
+    if args.fixed_param_precision is not None:
+        name += "_fp"
+    outdir = set_replicate_ix(args.outpath, name)
+    cfg = _mcmc_cfg_from_args(args, str(outdir))
+    os.makedirs(outdir, exist_ok=True)
+    with open(cfg.args_path(), "w") as f:
+        json.dump({k: v for k, v in vars(args).items() if k != "func"}, f, indent=2)
+    log.info("Loading net")
+    net = Net.load(str(model_path))
+    net.perturb(args.perturb_params, args.perturb_precisions)
+    dtr = train_data.to_stacked(net.arch)
+    dte = test_data.to_stacked(net.arch) if test_data is not None else None
+    log.info("Training net")
+    train(
+        net, dtr, cfg, test_data=dte, report_interval=args.report_interval,
+        fixed_param_precision=args.fixed_param_precision,
+    )
+    print(outdir)
+
+
+def _scan_models(model_path):
+    """Sorted model sample files (rs-bann.rs:291-299)."""
+    files = [
+        p
+        for p in Path(model_path).iterdir()
+        if p.is_file() and p.suffix == ".npz"
+    ]
+    return sorted(files, key=lambda p: int(p.stem))
+
+
+def _load_genotype_args(args):
+    from ..group.grouping import ExternalGrouping
+    from ..io.bed import BedVM
+    from ..io.genotypes import CompressedGenotypes
+
+    return CompressedGenotypes(
+        BedVM.from_file(args.bfile), ExternalGrouping.from_file(args.groups)
+    )
+
+
+def cmd_predict(args):
+    _force_cpu_if(args.cpu)
+    from ..models.net import Net
+
+    gen = _load_genotype_args(args)
+    w = csv.writer(sys.stdout)
+    X = None
+    for path in _scan_models(args.model_path):
+        net = Net.load(str(path))
+        if X is None:
+            X = gen.to_stacked(net.arch).X
+        w.writerow(np.asarray(net.predict(X)).tolist())
+
+
+def cmd_branch_r2(args):
+    _force_cpu_if(args.cpu)
+    from ..io.phen import Phenotypes
+    from ..models.net import Net
+
+    gen = _load_genotype_args(args)
+    y = Phenotypes.from_file(args.phen).y
+    w = csv.writer(sys.stdout)
+    X = None
+    for path in _scan_models(args.model_path):
+        net = Net.load(str(path))
+        if X is None:
+            import jax.numpy as jnp
+
+            X = gen.to_stacked(net.arch).X
+            yj = jnp.asarray(y)
+        w.writerow(np.asarray(net.branch_r2s(X, yj)).tolist())
+
+
+def cmd_activations(args):
+    _force_cpu_if(args.cpu)
+    from ..models.net import Net
+
+    gen = _load_genotype_args(args)
+    outdir = Path(args.model_path).parent / "activations"
+    outdir.mkdir(parents=True, exist_ok=True)
+    X = None
+    for path in _scan_models(args.model_path):
+        net = Net.load(str(path))
+        if X is None:
+            X = gen.to_stacked(net.arch).X
+        acts = net.activations(X)
+        payload = [
+            [a[:, : net.arch.layer_widths(g)[l]].tolist() for l, a in enumerate(branch)]
+            for g, branch in enumerate(acts)
+        ]
+        with open(outdir / f"{path.stem}.json", "w") as f:
+            json.dump(payload, f)
+    print(outdir)
+
+
+def cmd_gradients(args):
+    _force_cpu_if(args.cpu)
+    from ..io.phen import Phenotypes
+    from ..models.net import Net
+
+    gen = _load_genotype_args(args)
+    y = Phenotypes.from_file(args.phen).y
+    outdir = Path(args.model_path).parent / "gradients"
+    outdir.mkdir(parents=True, exist_ok=True)
+    X = None
+    for path in _scan_models(args.model_path):
+        net = Net.load(str(path))
+        if X is None:
+            import jax.numpy as jnp
+
+            X = gen.to_stacked(net.arch).X
+            yj = jnp.asarray(y)
+        grads = net.gradients(X, yj)
+        payload = [
+            {
+                "wrt_weights": [g.tolist() for g in gw],
+                "wrt_biases": [g.tolist() for g in gb],
+            }
+            for gw, gb in grads
+        ]
+        with open(outdir / f"{path.stem}.json", "w") as f:
+            json.dump(payload, f)
+    print(outdir)
+
+
+def cmd_population_effect_sizes(args):
+    _force_cpu_if(args.cpu)
+    from ..io.phen import Phenotypes
+    from ..models.net import Net
+
+    gen = _load_genotype_args(args)
+    Phenotypes.from_file(args.phen)  # validate, parity with reference signature
+    outdir = Path(args.model_path).parent / "population_effect_sizes"
+    outdir.mkdir(parents=True, exist_ok=True)
+    X = None
+    for path in _scan_models(args.model_path):
+        net = Net.load(str(path))
+        if X is None:
+            X = gen.to_stacked(net.arch).X
+        with open(outdir / f"{path.stem}.json", "w") as f:
+            json.dump(net.population_effect_sizes(X), f)
+    print(outdir)
+
+
+def cmd_available_backends(args):
+    import jax
+
+    print([d.platform for d in jax.devices()])
+
+
+# ----------------------------------------------------------------- parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rs-bann-tpu",
+        description="TPU-native Bayesian branch networks for genomic prediction",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("group-by-genes", help="Group markers by genes.")
+    g.add_argument("bim")
+    g.add_argument("gff")
+    g.add_argument("margin", type=int)
+    g.add_argument("--min-group-size", type=int, default=1)
+    g.add_argument("-o", "--outdir", default="./")
+    g.set_defaults(func=cmd_group_by_genes)
+
+    g = sub.add_parser("group-by-ld", help="Group markers by LD.")
+    g.add_argument("inpath")
+    g.add_argument("--min-group-size", type=int, default=1)
+    g.add_argument("-o", "--outdir", default="./")
+    g.set_defaults(func=cmd_group_by_ld)
+
+    def sim_common(g):
+        g.add_argument("-p", "--proportion-effective", type=float, default=None)
+        g.add_argument("-n", "--num-effective", type=int, default=None)
+        g.add_argument("--init-param-variance", type=float, default=None)
+        g.add_argument("--init-gamma-shape", type=float, default=None)
+        g.add_argument("--init-gamma-scale", type=float, default=None)
+        g.add_argument("--json-data", action="store_true")
+        g.add_argument("--debug", action="store_true")
+        g.add_argument("--seed", type=int, default=None)
+        g.add_argument("--cpu", action="store_true")
+
+    g = sub.add_parser("simulate-y", help="Simulate phenotypes for real genotypes.")
+    g.add_argument("bfile_train")
+    g.add_argument("bfile_test")
+    g.add_argument("groups")
+    g.add_argument("model_type", type=_model_type)
+    g.add_argument("activation_function", choices=ACTIVATIONS)
+    g.add_argument("-d", "--depth", type=int, default=0)
+    g.add_argument("-o", "--outdir", default="./")
+    g.add_argument("heritability", type=float, nargs="?", default=1.0)
+    sim_common(g)
+    g.set_defaults(func=cmd_simulate_y)
+
+    g = sub.add_parser(
+        "simulate-xy", help="Simulate marker and phenotype data under a net model."
+    )
+    g.add_argument("model_type", type=_model_type)
+    g.add_argument("activation_function", choices=ACTIVATIONS)
+    g.add_argument("num_markers_per_branch", type=int)
+    g.add_argument("num_branches", type=int)
+    g.add_argument("num_individuals", type=int)
+    g.add_argument("hidden_layer_width", type=int)
+    g.add_argument("branch_depth", type=int)
+    g.add_argument("heritability", type=float, nargs="?", default=1.0)
+    g.add_argument("--summary-layer-width", type=int, default=None)
+    g.add_argument("-o", "--outdir", default="./")
+    sim_common(g)
+    g.set_defaults(func=cmd_simulate_xy)
+
+    def model_args(g):
+        """TrainNewModelArgs (cli.rs:350-404)."""
+        g.add_argument("model_type", type=_model_type)
+        g.add_argument("activation_function", choices=ACTIVATIONS)
+        g.add_argument("branch_depth", type=int)
+        g.add_argument("--relative-hidden-layer-width", type=float, default=0.5)
+        g.add_argument("--fixed-hidden-layer-width", type=int, default=None)
+        g.add_argument("--relative-summary-layer-width", type=float, default=1.0)
+        g.add_argument("--fixed-summary-layer-width", type=int, default=None)
+        g.add_argument("--dpk", type=float, default=0.001)
+        g.add_argument("--dps", type=float, default=1000.0)
+        g.add_argument("--spk", type=float, default=0.001)
+        g.add_argument("--sps", type=float, default=1000.0)
+        g.add_argument("--opk", type=float, default=0.001)
+        g.add_argument("--ops", type=float, default=1000.0)
+
+    g = sub.add_parser("train-new", help="Train new model on .bed data.")
+    _add_train_io_args(g)
+    model_args(g)
+    _add_mcmc_args(g)
+    g.set_defaults(func=cmd_train_new)
+
+    g = sub.add_parser("train", help="Continue training a saved model.")
+    _add_train_io_args(g)
+    g.add_argument("model_type", type=_model_type)
+    g.add_argument("model_file")
+    g.add_argument("--perturb-params", type=float, default=None)
+    g.add_argument("--perturb-precisions", type=float, default=None)
+    _add_mcmc_args(g)
+    g.set_defaults(func=cmd_train)
+
+    g = sub.add_parser("predict", help="Predict phenotypes with saved models.")
+    g.add_argument("bfile")
+    g.add_argument("groups")
+    g.add_argument("-m", "--model-path", default="./models")
+    g.add_argument("--cpu", action="store_true")
+    g.set_defaults(func=cmd_predict)
+
+    def bpgm(g):
+        g.add_argument("bfile")
+        g.add_argument("phen")
+        g.add_argument("groups")
+        g.add_argument("-m", "--model-path", default="./models")
+        g.add_argument("--cpu", action="store_true")
+
+    g = sub.add_parser("branch-r2", help="Per-branch r2 for each saved model.")
+    bpgm(g)
+    g.set_defaults(func=cmd_branch_r2)
+
+    g = sub.add_parser("activations", help="Node activations of saved models.")
+    g.add_argument("bfile")
+    g.add_argument("groups")
+    g.add_argument("-m", "--model-path", default="./models")
+    g.add_argument("--cpu", action="store_true")
+    g.set_defaults(func=cmd_activations)
+
+    g = sub.add_parser("gradients", help="Log-density gradients of saved models.")
+    bpgm(g)
+    g.set_defaults(func=cmd_gradients)
+
+    g = sub.add_parser(
+        "population-effect-sizes",
+        help="Population mean marker effect sizes per saved model.",
+    )
+    bpgm(g)
+    g.set_defaults(func=cmd_population_effect_sizes)
+
+    g = sub.add_parser("available-backends", help="Print available jax backends.")
+    g.set_defaults(func=cmd_available_backends)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    level = logging.DEBUG if getattr(args, "debug_prints", False) or getattr(
+        args, "debug", False
+    ) else logging.INFO
+    logging.basicConfig(
+        level=level, format="%(asctime)s %(levelname)s [%(name)s] %(message)s"
+    )
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
