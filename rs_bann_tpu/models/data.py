@@ -23,8 +23,30 @@ from .arch import NetArch
 
 
 class StackedData(NamedTuple):
-    X: jnp.ndarray  # [G, n, m_pad] standardized; padded cols exactly 0
+    X: object  # [G, n, m_pad] standardized dense array, or a stacked PackedX
     y: jnp.ndarray  # [n]
+
+
+def pack_stacked(arch: NetArch, bed, grouping, y) -> StackedData:
+    """Build the 2-bit packed stacked form: X is a PackedX whose leaves have a
+    leading branch axis. 16x less HBM than the dense form; requires the fused
+    decode path (ops/packed_matmul.py)."""
+    from .density import PackedX
+
+    n = bed.num_individuals
+    B = bed.num_bytes_per_col
+    G = arch.num_branches
+    by = np.full((G, arch.m_pad, B), 0x55, np.uint8)  # code 01 decodes to 0
+    scale = np.zeros((G, arch.m_pad), np.float32)
+    shift = np.zeros((G, arch.m_pad), np.float32)
+    for g in range(G):
+        ixs = np.asarray(grouping.group(g))
+        by[g, : arch.m[g]] = bed.data[ixs]
+        std = bed.col_stds[ixs]
+        scale[g, : arch.m[g]] = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 0.0)
+        shift[g, : arch.m[g]] = bed.col_means[ixs]
+    X = PackedX(jnp.asarray(by), jnp.asarray(scale), jnp.asarray(shift), n)
+    return StackedData(X, jnp.asarray(np.asarray(y, np.float32)))
 
 
 def stack_standardized(

@@ -120,19 +120,70 @@ def slice_branch(tree, g):
 # ------------------------------------------------------------------ forward
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedX:
+    """2-bit packed, HBM-resident branch genotypes.
+
+    ``bytes``   uint8 [..., m_pad, bytes_per_col] PLINK bed columns
+    ``w_scale`` [..., m_pad] = 1/σ per marker (0 for padded / zero-variance)
+    ``shift``   [..., m_pad] = μ per marker (raw column means)
+    ``n``       static number of individuals
+
+    Standardization folds into layer-0 weights:
+      X_std @ W = decode(bytes) @ (w_scale[:,None]·W) − μ @ (w_scale[:,None]·W)
+    so the Pallas kernel (ops/packed_matmul.py) fuses decode+matmul and the
+    dense standardized matrix never materializes.
+    """
+
+    def __init__(self, bytes_, w_scale, shift, n: int):
+        self.bytes = bytes_
+        self.w_scale = w_scale
+        self.shift = shift
+        self.n = int(n)
+
+    def tree_flatten(self):
+        return (self.bytes, self.w_scale, self.shift), self.n
+
+    @classmethod
+    def tree_unflatten(cls, n, children):
+        return cls(*children, n)
+
+    def __getitem__(self, g):
+        return PackedX(self.bytes[g], self.w_scale[g], self.shift[g], self.n)
+
+
+def x_slice(x, g):
+    """Branch g's input out of stacked [G, ...] data (dense or packed)."""
+    return x[g]
+
+
+def _layer0(weights0, bias0, x):
+    if isinstance(x, PackedX):
+        from ..ops.packed_matmul import packed_matmul
+
+        w0p = x.w_scale[:, None] * weights0
+        z = packed_matmul(x.bytes, w0p, x.n) - (x.shift @ w0p)[None, :]
+        return z + bias0[None, :]
+    return x @ weights0 + bias0[None, :]
+
+
 def forward(act_name: str, weights, biases, x):
     """Forward pass of one branch.
 
-    x: [n, m_pad]; returns (pre_activations, activations) like the
-    reference's ``forward_feed`` (branch_sampler.rs:743-758): activations has
-    one entry per layer, the last being the scalar output column [n, 1].
+    x: [n, m_pad] dense standardized, or a PackedX; returns
+    (pre_activations, activations) like the reference's ``forward_feed``
+    (branch_sampler.rs:743-758): activations has one entry per layer, the
+    last being the scalar output column [n, 1].
     """
     h = activation(act_name)
     pre = []
     acts = []
-    a = x
     num_layers = len(weights)
-    for l in range(num_layers - 1):
+    z = _layer0(weights[0], biases[0], x)
+    pre.append(z)
+    a = h(z)
+    acts.append(a)
+    for l in range(1, num_layers - 1):
         z = a @ weights[l] + biases[l][None, :]
         pre.append(z)
         a = h(z)

@@ -53,6 +53,26 @@ class TrainCarry(NamedTuple):
     lpd_rss: jax.Array
     counts: jax.Array  # [3] int32: accepted / rejected / rejected-early
     key: jax.Array
+    # dual-averaging step-size adaptation state (Hoffman & Gelman 2014),
+    # per branch; inert unless hmc_step_size_mode == "dual_averaging"
+    da_log_eps: jax.Array  # [G]
+    da_log_eps_bar: jax.Array  # [G]
+    da_h_bar: jax.Array  # [G]
+    da_t: jax.Array  # scalar sweep counter
+
+
+# dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
+_DA_GAMMA, _DA_T0, _DA_KAPPA = 0.05, 10.0, 0.75
+
+
+def _da_update(cfg, t, h_bar, log_eps_bar, alpha, mu):
+    """One dual-averaging update; returns (h_bar, log_eps, log_eps_bar)."""
+    eta = 1.0 / (t + _DA_T0)
+    h_bar = (1.0 - eta) * h_bar + eta * (cfg.target_accept - alpha)
+    log_eps = mu - jnp.sqrt(t) / _DA_GAMMA * h_bar
+    w = t ** (-_DA_KAPPA)
+    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+    return h_bar, log_eps, log_eps_bar
 
 
 class SweepStats(NamedTuple):
@@ -186,6 +206,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     n_precisions = float(
         1 + 2 * (L - 1) + 1
     )  # rough per-branch precision count for joint step sizing
+    adaptive = cfg.hmc_step_size_mode == "dual_averaging"
+    import math as _math
+
+    da_mu = _math.log(10.0 * cfg.hmc_step_size_factor)
 
     def branch_update(carry: TrainCarry, g, X, y):
         state, residual = carry.state, carry.residual
@@ -248,9 +272,33 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             err_prec = jnp.where(accepted, err_new, err_prec)
         else:
+            step_factor = None
+            if adaptive:
+                warm = carry.da_t < cfg.burn_in
+                step_factor = jnp.exp(
+                    jnp.where(warm, carry.da_log_eps[g], carry.da_log_eps_bar[g])
+                )
             res = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
-                mw_g, mb_g, st_g.n_params,
+                mw_g, mb_g, st_g.n_params, step_factor,
+            )
+
+        da_log_eps, da_log_eps_bar, da_h_bar = (
+            carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
+        )
+        if adaptive and not joint:
+            warm = carry.da_t < cfg.burn_in
+            t = carry.da_t + 1.0
+            h_new, le_new, leb_new = _da_update(
+                cfg, t, carry.da_h_bar[g], carry.da_log_eps_bar[g],
+                res.accept_prob, da_mu,
+            )
+            da_h_bar = da_h_bar.at[g].set(jnp.where(warm, h_new, da_h_bar[g]))
+            da_log_eps = da_log_eps.at[g].set(
+                jnp.where(warm, le_new, da_log_eps[g])
+            )
+            da_log_eps_bar = da_log_eps_bar.at[g].set(
+                jnp.where(warm, leb_new, da_log_eps_bar[g])
             )
 
         residual = target - res.y_pred
@@ -292,6 +340,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             lpd_rss=lpd_rss,
             counts=carry.counts.at[res.code].add(1),
             key=key,
+            da_log_eps=da_log_eps,
+            da_log_eps_bar=da_log_eps_bar,
+            da_h_bar=da_h_bar,
+            da_t=carry.da_t,
         )
 
     def finish(carry: TrainCarry) -> SweepStats:
@@ -312,6 +364,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             return branch_update(c, g, X, y), None
 
         carry, _ = jax.lax.scan(body, carry, perm)
+        carry = carry._replace(da_t=carry.da_t + 1.0)
         return carry, finish(carry)
 
     # ------------------------------------------------------------ parallel
@@ -355,9 +408,18 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         hmc_keys = jax.random.split(k_hmc, G)
 
-        def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar):
+        if adaptive:
+            warm = carry.da_t < cfg.burn_in
+            step_factors = jnp.exp(
+                jnp.where(warm, carry.da_log_eps, carry.da_log_eps_bar)
+            )
+        else:
+            step_factors = jnp.ones(G)
+
+        def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
             return transition(
-                k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar
+                k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar,
+                fac if adaptive else None,
             )
 
         res = jax.vmap(one)(
@@ -371,6 +433,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             masks_w,
             masks_b,
             statics.n_params,
+            step_factors,
         )
         params = StackedParams(res.weights, res.biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
@@ -403,6 +466,20 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         for code in range(3):
             counts = counts.at[code].add(jnp.sum(res.code == code))
 
+        da_log_eps, da_log_eps_bar, da_h_bar = (
+            carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
+        )
+        if adaptive:
+            warm = carry.da_t < cfg.burn_in
+            t = carry.da_t + 1.0
+            h_new, le_new, leb_new = _da_update(
+                cfg, t, carry.da_h_bar, carry.da_log_eps_bar,
+                res.accept_prob, da_mu,
+            )
+            da_h_bar = jnp.where(warm, h_new, da_h_bar)
+            da_log_eps = jnp.where(warm, le_new, da_log_eps)
+            da_log_eps_bar = jnp.where(warm, leb_new, da_log_eps_bar)
+
         carry = TrainCarry(
             state=NetState(params, precisions, bias, bias_prec),
             residual=residual,
@@ -411,6 +488,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             lpd_rss=lpd_rss,
             counts=counts,
             key=key,
+            da_log_eps=da_log_eps,
+            da_log_eps_bar=da_log_eps_bar,
+            da_h_bar=da_h_bar,
+            da_t=carry.da_t + 1.0,
         )
         return carry, finish(carry)
 
@@ -601,7 +682,7 @@ class Net:
         return self
 
     # ------------------------------------------------------------- training
-    def init_carry(self, X, y, key) -> TrainCarry:
+    def init_carry(self, X, y, key, step_size_factor: float = 1.0) -> TrainCarry:
         """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171)."""
         residual = y - self.predict(X)
         statics = D.branch_statics(self.arch)
@@ -628,6 +709,10 @@ class Net:
             s.precisions.error, jnp.sum(residual**2), self.hyper,
             jnp.asarray(residual.shape[0], jnp.float32),
         )
+        import math as _math
+
+        G = self.arch.num_branches
+        log_eps0 = _math.log(step_size_factor)
         return TrainCarry(
             state=s,
             residual=residual,
@@ -636,6 +721,10 @@ class Net:
             lpd_rss=lpd_rss,
             counts=jnp.zeros(3, jnp.int32),
             key=key,
+            da_log_eps=jnp.full(G, log_eps0),
+            da_log_eps_bar=jnp.full(G, log_eps0),
+            da_h_bar=jnp.zeros(G),
+            da_t=jnp.asarray(0.0),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

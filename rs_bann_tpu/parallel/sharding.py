@@ -1,0 +1,151 @@
+"""Device-mesh sharding of the Gibbs sweep.
+
+The reference is strictly single-device, single-chain (SURVEY.md §2.7). The
+TPU rebuild exposes the two parallel axes that exist implicitly in the model:
+
+  * ``chain``  — vectorized MCMC chains: pure data parallelism, no
+    communication (each chain owns its full state).
+  * ``branch`` — SNP groups within a sweep: embarrassingly parallel in the
+    block-parallel update mode except for the shared residual (a length-n
+    all-reduce over branch predictions), the error precision, the output
+    layer precision, and the output-weight summary statistic (scalar psums).
+
+We lay the stacked state out as ``[C, G, ...]`` and annotate leaves with
+``NamedSharding`` over a ``Mesh(("chain", "branch"))``; XLA GSPMD inserts the
+collectives (the Σ_g pred_g all-reduce rides the branch axis of the mesh).
+Sequential (reference-exact) mode serializes branches by construction, so it
+shards only over chains; parallel mode shards both axes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.net import Net, TrainCarry
+from ..samplers.mcmc_cfg import MCMCCfg
+
+
+def make_mesh(
+    n_chain: int, n_branch: int, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert n_chain * n_branch <= len(devices), (
+        f"mesh {n_chain}x{n_branch} needs {n_chain * n_branch} devices, "
+        f"have {len(devices)}"
+    )
+    dev = np.asarray(devices[: n_chain * n_branch]).reshape(n_chain, n_branch)
+    return Mesh(dev, ("chain", "branch"))
+
+
+def _carry_specs(carry: TrainCarry, chains: bool, shard_branch: bool):
+    """PartitionSpec pytree matching a TrainCarry.
+
+    Stacked per-branch arrays lead with [C?, G, ...]; scalars replicate.
+    """
+    c = "chain" if chains else None
+    b = "branch" if shard_branch else None
+
+    def spec(ndim_after_batch, branch_leading):
+        base = [c] if chains else []
+        if branch_leading:
+            base.append(b)
+        base += [None] * ndim_after_batch
+        return P(*base)
+
+    params_spec = type(carry.state.params)(
+        tuple(spec(w.ndim - (2 if chains else 1), True) for w in carry.state.params.weights),
+        tuple(spec(bi.ndim - (2 if chains else 1), True) for bi in carry.state.params.biases),
+    )
+    prec_spec = type(carry.state.precisions)(
+        tuple(spec(w.ndim - (2 if chains else 1), True) for w in carry.state.precisions.weights),
+        tuple(spec(bi.ndim - (2 if chains else 1), True) for bi in carry.state.precisions.biases),
+        P(c) if chains else P(),
+    )
+    state_spec = type(carry.state)(
+        params_spec,
+        prec_spec,
+        P(c) if chains else P(),
+        P(c) if chains else P(),
+    )
+    return TrainCarry(
+        state=state_spec,
+        residual=P(c, None) if chains else P(None),
+        lpd_local=P(c, b) if chains else P(b),
+        lpd_out=P(c) if chains else P(),
+        lpd_rss=P(c) if chains else P(),
+        counts=P(c, None) if chains else P(None),
+        # typed PRNG keys are rank-1 with a leading chain axis
+        key=P(c) if chains else P(),
+        da_log_eps=P(c, b) if chains else P(b),
+        da_log_eps_bar=P(c, b) if chains else P(b),
+        da_h_bar=P(c, b) if chains else P(b),
+        da_t=P(c) if chains else P(),
+    )
+
+
+def make_sharded_sweep(
+    net: Net,
+    cfg: MCMCCfg,
+    mesh: Mesh,
+):
+    """Compile the sweep with mesh shardings.
+
+    Returns (sweep_fn, place_carry, place_data):
+      sweep_fn(carry, X, y) -> (carry, stats), jitted with shardings;
+      place_carry / place_data move host pytrees onto the mesh.
+
+    With num_chains > 1 the carry must have a leading chain axis on every
+    leaf (build with vmap of net.init_carry).
+    """
+    chains = cfg.num_chains > 1
+    shard_branch = cfg.update_mode == "parallel" and mesh.shape["branch"] > 1
+    if shard_branch:
+        assert net.arch.num_branches % mesh.shape["branch"] == 0, (
+            f"num_branches {net.arch.num_branches} must divide evenly over the "
+            f"branch mesh axis {mesh.shape['branch']}"
+        )
+
+    sweep = net.make_sweep(cfg)
+    if chains:
+        sweep = jax.vmap(sweep, in_axes=(0, None, None))
+
+    def dummy_carry():
+        key = jax.random.key(0)
+        n = 4
+        import jax.numpy as jnp
+
+        X = jnp.zeros((net.arch.num_branches, n, net.arch.m_pad))
+        y = jnp.zeros(n)
+        c = net.init_carry(X, y, key)
+        if chains:
+            c = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (cfg.num_chains,) + a.shape), c
+            )
+        return c
+
+    specs = _carry_specs(dummy_carry(), chains, shard_branch)
+    b = "branch" if shard_branch else None
+    x_spec = P(b, None, None)
+    y_spec = P(None)
+
+    def sh(spec_tree):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    sweep_jit = jax.jit(
+        sweep,
+        in_shardings=(sh(specs), sh(x_spec), sh(y_spec)),
+        out_shardings=(sh(specs), None),
+    )
+
+    def place_carry(carry):
+        return jax.device_put(carry, sh(specs))
+
+    def place_data(X, y):
+        return jax.device_put(X, sh(x_spec)), jax.device_put(y, sh(y_spec))
+
+    return sweep_jit, place_carry, place_data

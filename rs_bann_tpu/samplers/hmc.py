@@ -50,6 +50,7 @@ class HMCResult(NamedTuple):
     code: jax.Array  # int32, one of ACCEPTED/REJECTED/REJECTED_EARLY
     y_pred: jax.Array  # [n] prediction at the RETURNED params
     log_density: jax.Array  # -U at the returned params
+    accept_prob: jax.Array  # Metropolis acceptance probability (0 if diverged)
 
 
 def _tree_mul_add(xs, eps, ps, frac=1.0):
@@ -73,10 +74,16 @@ def step_sizes(
     w_precisions,
     b_precisions,
     n_params,
+    step_factor=None,
 ):
-    """Per-coordinate leapfrog step sizes for (weights, biases)."""
+    """Per-coordinate leapfrog step sizes for (weights, biases).
+
+    ``step_factor`` overrides the static cfg factor (may be a traced scalar —
+    used by dual-averaging adaptation, which scales the izmailov shape)."""
     mode = cfg.hmc_step_size_mode
-    factor = cfg.hmc_step_size_factor
+    factor = cfg.hmc_step_size_factor if step_factor is None else step_factor
+    if mode == "dual_averaging":
+        mode = "izmailov"
     L = cfg.hmc_integration_length
     if mode == "uniform":
         eps_w = tuple(jnp.full(w.shape, factor) for w in weights)
@@ -107,12 +114,14 @@ def step_sizes(
                 for w, lam in zip(weights, w_precisions)
             )
         else:
-            fac = 1.0 if model_type == "std_normal" else factor
+            # the reference's std_normal izmailov ignores the factor
+            # (std_normal_branch.rs:244-249); adaptation overrides that
+            fac = 1.0 if (model_type == "std_normal" and step_factor is None) else factor
             eps_w = tuple(
                 jnp.broadcast_to(fac * math.pi / (2.0 * jnp.sqrt(lam) * L), w.shape)
                 for w, lam in zip(weights, w_precisions)
             )
-        bias_fac = 1.0 if model_type == "std_normal" else factor
+        bias_fac = 1.0 if (model_type == "std_normal" and step_factor is None) else factor
         eps_b = tuple(
             jnp.broadcast_to(bias_fac * math.pi / (2.0 * jnp.sqrt(lam) * L), b.shape)
             for b, lam in zip(biases, b_precisions)
@@ -156,10 +165,12 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         masks_w,
         masks_b,
         n_params,
+        step_factor=None,
     ):
         k_eps, k_mom, k_acc = jax.random.split(key, 3)
         eps_w, eps_b = step_sizes(
-            k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions, n_params
+            k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions,
+            n_params, step_factor,
         )
         mkeys = jax.random.split(k_mom, len(weights) + len(biases))
         p_w = tuple(
@@ -220,12 +231,16 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         sel = lambda new, old: jax.tree.map(
             lambda n, o: jnp.where(accepted, n, o), new, old
         )
+        alpha = jnp.where(
+            dead | jnp.isnan(log_acc), 0.0, jnp.minimum(1.0, jnp.exp(log_acc))
+        )
         return HMCResult(
             weights=sel(w_f, weights),
             biases=sel(b_f, biases),
             code=code.astype(jnp.int32),
             y_pred=jnp.where(accepted, yp_f, y_pred0),
             log_density=jnp.where(accepted, ld_f, ld0),
+            accept_prob=alpha,
         )
 
     return hmc
@@ -349,7 +364,8 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
             body, (leaves, mom, g0, ld0, yp0, jnp.asarray(False)), None, length=L
         )
         neg_h_f = ld_f - 0.5 * sum(jnp.sum(pi * pi) for pi in p_f)
-        mh_ok = jnp.log(jax.random.uniform(k_acc, ())) < (neg_h_f - neg_h0)
+        log_acc = neg_h_f - neg_h0
+        mh_ok = jnp.log(jax.random.uniform(k_acc, ())) < log_acc
         accepted = ~dead & mh_ok
         code = jnp.where(dead, REJECTED_EARLY, jnp.where(mh_ok, ACCEPTED, REJECTED))
         sel = [jnp.where(accepted, n, o) for n, o in zip(q_f, leaves)]
@@ -360,6 +376,9 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
             code=code.astype(jnp.int32),
             y_pred=jnp.where(accepted, yp_f, yp0),
             log_density=jnp.where(accepted, ld_f, ld0),
+            accept_prob=jnp.where(
+                dead | jnp.isnan(log_acc), 0.0, jnp.minimum(1.0, jnp.exp(log_acc))
+            ),
         )
         return res, wp_new, bp_new, ep_new
 
@@ -402,8 +421,9 @@ def make_gradient_descent(model_type: str, act_name: str, cfg: MCMCCfg):
         masks_w,
         masks_b,
         n_params,
+        step_factor=None,
     ):
-        del key, b_precisions, n_params
+        del key, b_precisions, n_params, step_factor
 
         def outer(carry, _):
             w, b = carry
@@ -443,6 +463,7 @@ def make_gradient_descent(model_type: str, act_name: str, cfg: MCMCCfg):
             code=jnp.asarray(ACCEPTED, jnp.int32),
             y_pred=yp,
             log_density=ld,
+            accept_prob=jnp.asarray(1.0),
         )
 
     return gd

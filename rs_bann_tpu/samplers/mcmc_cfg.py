@@ -9,7 +9,7 @@ from __future__ import annotations
 import dataclasses
 import os
 
-STEP_SIZE_MODES = ("uniform", "random", "std_scaled", "izmailov")
+STEP_SIZE_MODES = ("uniform", "random", "std_scaled", "izmailov", "dual_averaging")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +33,7 @@ class MCMCCfg:
     effect_sizes: bool = False
     num_chains: int = 1  # TPU extension: vectorized chains (reference: 1)
     seed: int = 0  # TPU extension: fully reproducible runs (reference: none)
+    target_accept: float = 0.8  # dual-averaging adaptation target (TPU ext.)
     update_mode: str = "sequential"  # "sequential" (reference-exact random-scan
     # Gibbs) or "parallel" (block systematic-scan: all branches HMC against a
     # frozen residual snapshot; shared scalars updated once per sweep)

@@ -197,11 +197,13 @@ def train(
     if C == 1:
         sweep_jit = jax.jit(sweep)
         key = jax.random.key(cfg.seed)
-        carry = net.init_carry(X, y, key)
+        carry = net.init_carry(X, y, key, cfg.hmc_step_size_factor)
     else:
         sweep_jit = jax.jit(jax.vmap(sweep, in_axes=(0, None, None)))
         keys = jax.random.split(jax.random.key(cfg.seed), C)
-        carry = jax.vmap(lambda k: net.init_carry(X, y, k))(keys)
+        carry = jax.vmap(
+            lambda k: net.init_carry(X, y, k, cfg.hmc_step_size_factor)
+        )(keys)
 
     stats = TrainingStats()
     trace_f = open(cfg.trace_path(), "w") if cfg.trace else None

@@ -1,0 +1,194 @@
+"""Posterior analysis utilities.
+
+Rebuild of the reference's out-of-repo tooling ``py-vis/vis.py`` (trace /
+trajectory / training-stats parsing and posterior-vs-truth comparison) and
+the expected-r² formulas of ``py-vis/sim.py:151-169``.
+
+All loaders return plain numpy structures; plotting helpers use matplotlib
+lazily and are optional.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+# --------------------------------------------------------------- loaders
+
+
+def load_training_stats(outdir) -> dict:
+    with open(Path(outdir) / "training_stats") as f:
+        return json.load(f)
+
+
+def load_hyperparams(outdir) -> dict:
+    with open(Path(outdir) / "hyperparams") as f:
+        return json.load(f)
+
+
+def load_trace(outdir):
+    """trace JSONL -> list (iterations) of list (branches) of dicts
+    (net.rs:349-352 schema: params + precisions per branch)."""
+    out = []
+    with open(Path(outdir) / "trace") as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def trace_param_matrix(trace, branch_ix: int) -> np.ndarray:
+    """[iterations, num_params] flattened in reference param_vec order
+    (weights column-major per layer, then biases)."""
+    rows = []
+    for it in trace:
+        b = it[branch_ix]
+        vec = []
+        for w in b["params"]["weights"]:
+            vec.extend(w)
+        for bias in b["params"]["biases"]:
+            vec.extend(bias)
+        rows.append(vec)
+    return np.asarray(rows, np.float32)
+
+
+def trace_precision_matrix(trace, branch_ix: int) -> np.ndarray:
+    rows = []
+    for it in trace:
+        b = it[branch_ix]
+        vec = []
+        for w in b["precisions"]["weight_precisions"]:
+            vec.extend(w)
+        for bias in b["precisions"]["bias_precisions"]:
+            vec.extend(bias)
+        vec.extend(b["precisions"]["error_precision"])
+        rows.append(vec)
+    return np.asarray(rows, np.float32)
+
+
+def load_true_params(sim_outdir):
+    """model.params written by simulate-* (list of branch dicts)."""
+    with open(Path(sim_outdir) / "model.params") as f:
+        return json.load(f)
+
+
+def load_trajectories(outdir):
+    """traj JSONL -> list of per-hmc-step records (trajectory.rs:4-43)."""
+    out = []
+    with open(Path(outdir) / "traj") as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def posterior_predictions(models_dir, X) -> np.ndarray:
+    """[samples, n] predictions from every saved model sample."""
+    from .models.net import Net
+
+    files = sorted(
+        (p for p in Path(models_dir).iterdir() if p.suffix == ".npz"),
+        key=lambda p: int(p.stem),
+    )
+    return np.stack([np.asarray(Net.load(str(p)).predict(X)) for p in files])
+
+
+# --------------------------------------------------------------- summaries
+
+
+def posterior_mean_vs_truth(trace, true_params, burn_in: int = 0) -> dict:
+    """Per-branch correlation of posterior-mean params with the generating
+    model's params (the reference's plot_single_branch_posterior_means,
+    vis.py:385, as a numeric summary)."""
+    out = {}
+    for g in range(len(true_params)):
+        mat = trace_param_matrix(trace, g)[burn_in:]
+        post_mean = mat.mean(axis=0)
+        tv = []
+        for w in true_params[g]["params"]["weights"]:
+            tv.extend(w)
+        for b in true_params[g]["params"]["biases"]:
+            tv.extend(b)
+        tv = np.asarray(tv, np.float32)
+        if tv.shape != post_mean.shape:
+            raise ValueError(
+                f"param count mismatch branch {g}: {tv.shape} vs {post_mean.shape}"
+            )
+        denom = post_mean.std() * tv.std()
+        corr = float(((post_mean - post_mean.mean()) * (tv - tv.mean())).mean() / denom) if denom > 0 else float("nan")
+        out[g] = {
+            "corr": corr,
+            "rmse": float(np.sqrt(((post_mean - tv) ** 2).mean())),
+        }
+    return out
+
+
+def expected_r2(m: int, n: int, h2: float, formula: str = "daetwyler"):
+    """Expected predictive r² in an independent sample (py-vis/sim.py:151-169).
+
+    daetwyler: r² = k/(k+1) with k = n·h²/m.
+    wray: the quadratic-root form (returned as the two roots, as upstream).
+    """
+    if formula in ("daetwyler", "deatwyler"):
+        k = n * h2 / m
+        return k / (k + 1)
+    if formula in ("wray", "wrey"):
+        k = m / (n + h2)
+        x1 = (1 + k) - (np.sqrt((1 + k) ** 2 + 4 * k * h2) / (-2 * k))
+        x2 = (1 + k) + (np.sqrt((1 + k) ** 2 + 4 * k * h2) / (-2 * k))
+        return np.sqrt([x1, x2])
+    raise ValueError(formula)
+
+
+# ----------------------------------------------------------------- plots
+
+
+def plot_training_stats(outdir, save_to=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    st = load_training_stats(outdir)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    axes[0].plot(st["mse_train"], label="train")
+    if st.get("mse_test"):
+        axes[0].plot(st["mse_test"], label="test")
+    axes[0].set_xlabel("iteration")
+    axes[0].set_ylabel("mse")
+    axes[0].legend()
+    axes[1].plot(st["lpd"])
+    axes[1].set_xlabel("iteration")
+    axes[1].set_ylabel("log posterior density")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def plot_posterior_means(trace, true_params, branch_ix=0, burn_in=0, save_to=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mat = trace_param_matrix(trace, branch_ix)[burn_in:]
+    post_mean = mat.mean(axis=0)
+    tv = []
+    for w in true_params[branch_ix]["params"]["weights"]:
+        tv.extend(w)
+    for b in true_params[branch_ix]["params"]["biases"]:
+        tv.extend(b)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot(tv, post_mean, ".")
+    lim = max(np.abs(tv).max(), np.abs(post_mean).max()) * 1.1
+    ax.plot([-lim, lim], [-lim, lim], "k--", lw=0.5)
+    ax.set_xlabel("true param")
+    ax.set_ylabel("posterior mean")
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig

@@ -1,0 +1,111 @@
+"""Packed (2-bit HBM-resident) genotype path vs the dense standardized path:
+forward, gradients, and full training sweeps must agree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_bann_tpu.io.bed import BedVM
+from rs_bann_tpu.group.grouping import UniformGrouping
+from rs_bann_tpu.models import density as D
+from rs_bann_tpu.models.arch import NetArch
+from rs_bann_tpu.models.data import pack_stacked
+from rs_bann_tpu.models.init import InitCfg, init_net
+from rs_bann_tpu.models.net import Net
+from rs_bann_tpu.ops.packed_matmul import (
+    _packed_matmul_ref,
+    _pallas_bwd,
+    _pallas_fwd,
+    unpack_bytes,
+)
+from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+
+
+def _setup(n=50, G=2, m=6, seed=0):
+    bed = BedVM.random(n, G * m, seed=seed)
+    grouping = UniformGrouping(G, m)
+    arch = NetArch.uniform(G, m, 4, 0, 4)
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal(n).astype(np.float32)
+    from rs_bann_tpu.io.genotypes import CompressedGenotypes
+
+    gen = CompressedGenotypes(bed, grouping)
+    dense = gen.to_stacked(arch, y)
+    packed = pack_stacked(arch, bed, grouping, y)
+    return arch, dense, packed
+
+
+def test_unpack_matches_bed_decode():
+    bed = BedVM.random(23, 5, seed=1)
+    dec = np.asarray(unpack_bytes(jnp.asarray(bed.data), 23))
+    np.testing.assert_array_equal(dec, bed.data_f32().T)
+
+
+def test_packed_forward_matches_dense():
+    arch, dense, packed = _setup()
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=3))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    a = np.asarray(net.predict(dense.X))
+    b = np.asarray(net.predict(packed.X))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_gradient_matches_dense():
+    arch, dense, packed = _setup()
+    state, _ = init_net(arch, "lasso_base", InitCfg(seed=3))
+    pot = D.potential_fn("lasso_base", "tanh")
+    w = tuple(w[0] for w in state.params.weights)
+    b = tuple(b[0] for b in state.params.biases)
+    lam = tuple(a[0] for a in state.precisions.weights)
+    g_dense = jax.grad(pot, argnums=(0, 1))(
+        w, b, lam, jnp.asarray(1.0), dense.X[0], dense.y
+    )
+    g_packed = jax.grad(pot, argnums=(0, 1))(
+        w, b, lam, jnp.asarray(1.0), packed.X[0], dense.y
+    )
+    for a_, b_ in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_packed)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("update_mode", ["sequential", "parallel"])
+def test_packed_sweep_matches_dense(update_mode):
+    """Same seed, packed vs dense input: identical sampler trajectory."""
+    arch, dense, packed = _setup(n=40)
+    outs = []
+    for data in (dense, packed):
+        state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+        net = Net("ridge_base", arch, D.Hyperparameters(), state)
+        cfg = MCMCCfg(
+            chain_length=3, burn_in=10**9, hmc_integration_length=10,
+            update_mode=update_mode, seed=7,
+        )
+        sweep = jax.jit(net.make_sweep(cfg))
+        carry = net.init_carry(data.X, data.y, jax.random.key(7))
+        for _ in range(3):
+            carry, stats = sweep(carry, data.X, data.y)
+        outs.append(np.asarray(carry.residual))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_kernels_interpret_mode():
+    """The TPU kernels, run in interpreter mode on CPU, match the jnp ref."""
+    rng = np.random.default_rng(0)
+    m, n, k = 16, 64, 8
+    vals = rng.integers(0, 3, size=(m, n))
+    from rs_bann_tpu.io.bed import pack_genotypes
+
+    by = jnp.asarray(pack_genotypes(vals))
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    ref = np.asarray(_packed_matmul_ref(by, a, n))
+    out = np.asarray(_pallas_fwd(by, a, n, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+    g = jnp.asarray(rng.standard_normal((by.shape[1] * 4, k)).astype(np.float32))
+    ref_b = np.asarray(
+        jax.lax.dot_general(
+            unpack_bytes(by, by.shape[1] * 4), g, (((1,), (0,)), ((), ()))
+        )
+    )
+    out_b = np.asarray(_pallas_bwd(by, g, n, interpret=True))
+    np.testing.assert_allclose(out_b, ref_b, rtol=1e-5)
