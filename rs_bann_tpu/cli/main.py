@@ -81,6 +81,9 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     p.add_argument("--gradient-descent-joint", action="store_true")
     p.add_argument("--burn-in", type=int, default=None)
     p.add_argument("-j", "--joint-hmc", action="store_true")
+    # internal knobs the reference keeps off-CLI (mcmc_cfg.rs:28-30)
+    p.add_argument("--sampled-output-bias", action="store_true")
+    p.add_argument("--effect-sizes", action="store_true")
     # TPU extensions
     p.add_argument("--num-chains", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -142,6 +145,8 @@ def _mcmc_cfg_from_args(args, outpath: str):
         gradient_descent_joint=args.gradient_descent_joint,
         joint_hmc=args.joint_hmc,
         fixed_param_precisions=args.fixed_param_precision is not None,
+        sampled_output_bias=args.sampled_output_bias,
+        effect_sizes=args.effect_sizes,
         num_chains=args.num_chains,
         seed=args.seed,
         update_mode=args.update_mode,

@@ -69,9 +69,13 @@ class BedVM:
         self.data = np.asarray(data, np.uint8).reshape(
             self.num_markers, self.num_bytes_per_col
         )
-        full = decode_bed_bytes(self.data, self.num_individuals)  # [m, n]
-        self.col_means = full.mean(axis=1)
-        self.col_stds = full.std(axis=1)  # population std (io/bed.rs:231-242)
+        # threaded count-based stats via the native codec when available
+        # (population std, io/bed.rs:231-242)
+        from . import native
+
+        self.col_means, self.col_stds = native.col_stats(
+            self.data, self.num_individuals
+        )
         for ix in np.nonzero(self.col_stds == 0)[0]:
             import logging
 
@@ -143,18 +147,26 @@ class BedVM:
     # ------------------------------------------------------------- access
     def get_cols(self, col_ixs) -> np.ndarray:
         """[len(ixs), n] raw genotypes."""
-        return decode_bed_bytes(self.data[np.asarray(col_ixs)], self.num_individuals)
+        from . import native
+
+        return native.decode(self.data[np.asarray(col_ixs)], self.num_individuals)
 
     def get_submatrix_standardized(self, col_ixs) -> np.ndarray:
         """[n, len(ixs)] standardized — the reference's hot data path
-        (io/bed.rs:325-355)."""
-        ixs = np.asarray(col_ixs)
-        raw = self.get_cols(ixs).T  # [n, k]
-        return (raw - self.col_means[ixs]) / self.col_stds[ixs]
+        (io/bed.rs:325-355). Zero-variance markers map to 0 (the reference
+        divides by zero; io/bed.rs:121 requires imputation beforehand)."""
+        from . import native
+
+        return native.submatrix_std(
+            self.data, self.num_individuals, np.asarray(col_ixs),
+            self.col_means, self.col_stds,
+        )
 
     def data_f32(self) -> np.ndarray:
         """Full [n, m] raw matrix (io/bed.rs:357-367 is column-major flat)."""
-        return decode_bed_bytes(self.data, self.num_individuals).T
+        from . import native
+
+        return native.decode(self.data, self.num_individuals).T
 
     # packed device form for the Pallas decode path
     def packed_columns(self) -> np.ndarray:

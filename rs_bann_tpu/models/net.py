@@ -35,6 +35,7 @@ import numpy as np
 from ..samplers import gibbs
 from ..samplers.hmc import (
     make_gradient_descent,
+    make_gradient_descent_joint,
     make_hmc_step,
     make_hmc_step_joint,
 )
@@ -79,6 +80,10 @@ class SweepStats(NamedTuple):
     counts: jax.Array  # cumulative [3]
     mse_train: jax.Array
     lpd: jax.Array
+    # per-leapfrog-step trajectories (cfg.trajectories): dict with
+    # "params"/"ldg" [G, L, P_pad_flat], "hamiltonian" [G, L+1], optionally
+    # "num_ldg", plus "perm" [G] (branch update order); () when disabled
+    traj: object = ()
 
 
 # --------------------------------------------------------------------------
@@ -192,11 +197,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     if cfg.gradient_descent:
         transition = make_gradient_descent(model_type, act, cfg)
         joint = False
-    elif cfg.joint_hmc or cfg.gradient_descent_joint:
-        if cfg.gradient_descent_joint:
-            raise NotImplementedError(
-                "gradient_descent_joint is not implemented yet; use joint_hmc"
-            )
+    elif cfg.gradient_descent_joint:
+        transition = make_gradient_descent_joint(model_type, act, cfg)
+        joint = True
+    elif cfg.joint_hmc:
         transition = make_hmc_step_joint(model_type, act, cfg)
         joint = True
     else:
@@ -207,6 +211,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         1 + 2 * (L - 1) + 1
     )  # rough per-branch precision count for joint step sizing
     adaptive = cfg.hmc_step_size_mode == "dual_averaging"
+    record_traj = cfg.trajectories and not (
+        cfg.joint_hmc or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
     import math as _math
 
     da_mu = _math.log(10.0 * cfg.hmc_step_size_factor)
@@ -252,6 +259,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         pred_old = D.predict(act, w_g, b_g, x_g)
         target = residual + pred_old
 
+        traj = ()
         if joint:
             reg_sum_others = _reg_all(model_type, params) - D.summary_stat(
                 model_type, w_g[-1]
@@ -278,10 +286,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 step_factor = jnp.exp(
                     jnp.where(warm, carry.da_log_eps[g], carry.da_log_eps_bar[g])
                 )
-            res = transition(
+            out = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
                 mw_g, mb_g, st_g.n_params, step_factor,
             )
+            res, traj = out if record_traj else (out, ())
 
         da_log_eps, da_log_eps_bar, da_h_bar = (
             carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
@@ -332,7 +341,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             state.output_bias_precision, err_prec,
         )
 
-        return TrainCarry(
+        new_carry = TrainCarry(
             state=NetState(params, precisions, bias, bias_prec),
             residual=residual,
             lpd_local=lpd_local,
@@ -345,13 +354,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_h_bar=da_h_bar,
             da_t=carry.da_t,
         )
+        return new_carry, (traj if record_traj else ())
 
-    def finish(carry: TrainCarry) -> SweepStats:
+    def finish(carry: TrainCarry, traj=()) -> SweepStats:
         n = jnp.asarray(carry.residual.shape[0], jnp.float32)
         return SweepStats(
             counts=carry.counts,
             mse_train=jnp.sum(carry.residual**2) / n,
             lpd=carry.lpd_rss + carry.lpd_out + jnp.sum(carry.lpd_local),
+            traj=traj,
         )
 
     # ---------------------------------------------------------- sequential
@@ -361,11 +372,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         perm = jax.random.permutation(k_perm, G)
 
         def body(c, g):
-            return branch_update(c, g, X, y), None
+            return branch_update(c, g, X, y)
 
-        carry, _ = jax.lax.scan(body, carry, perm)
+        carry, trajs = jax.lax.scan(body, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
-        return carry, finish(carry)
+        if record_traj:
+            trajs = dict(trajs)
+            trajs["perm"] = perm
+        return carry, finish(carry, trajs if record_traj else ())
 
     # ------------------------------------------------------------ parallel
     def sweep_parallel(carry: TrainCarry, X, y):
@@ -422,7 +436,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 fac if adaptive else None,
             )
 
-        res = jax.vmap(one)(
+        out = jax.vmap(one)(
             hmc_keys,
             params.weights,
             params.biases,
@@ -435,6 +449,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             statics.n_params,
             step_factors,
         )
+        if record_traj:
+            res, trajs = out
+            trajs = dict(trajs)
+            trajs["perm"] = jnp.arange(G)
+        else:
+            res, trajs = out, ()
         params = StackedParams(res.weights, res.biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
         residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
@@ -493,7 +513,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_h_bar=da_h_bar,
             da_t=carry.da_t + 1.0,
         )
-        return carry, finish(carry)
+        return carry, finish(carry, trajs)
 
     if joint and cfg.update_mode == "parallel":
         raise NotImplementedError("joint_hmc currently requires sequential mode")

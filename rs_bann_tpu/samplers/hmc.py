@@ -131,15 +131,40 @@ def step_sizes(
     return eps_w, eps_b
 
 
+NUMERICAL_DELTA = 1e-3  # branch_sampler.rs:30
+
+
+def flatten_wb(ws, bs):
+    """Padded-flat vector: raveled weights per layer, then biases."""
+    return jnp.concatenate(
+        [w.reshape(-1) for w in ws] + [b.reshape(-1) for b in bs]
+    )
+
+
+def unflatten_wb(vec, like_w, like_b):
+    ws, bs, ix = [], [], 0
+    for w in like_w:
+        ws.append(vec[ix : ix + w.size].reshape(w.shape))
+        ix += w.size
+    for b in like_b:
+        bs.append(vec[ix : ix + b.size].reshape(b.shape))
+        ix += b.size
+    return tuple(ws), tuple(bs)
+
+
 def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
     """Build the jittable marginal HMC transition for one branch.
 
     Returned signature:
       hmc(key, weights, biases, w_precisions, b_precisions, error_precision,
-          x, y, masks_w, masks_b, n_params) -> HMCResult
+          x, y, masks_w, masks_b, n_params[, step_factor]) -> HMCResult
+    (-> (HMCResult, traj dict) when cfg.trajectories is set; traj holds
+    per-leapfrog-step padded-flat params/ldg and the Hamiltonian series,
+    trajectory.rs:4-43.)
     """
     L = cfg.hmc_integration_length
     max_err = cfg.hmc_max_hamiltonian_error
+    record = cfg.trajectories
 
     def potential(weights, biases, w_precisions, error_precision, x, y):
         _, acts = D.forward(act_name, weights, biases, x)
@@ -151,7 +176,32 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         )
         return ld, y_pred
 
-    vg = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+    vg_exact = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def make_num_vg(masks_w, masks_b):
+        """Forward finite differences, masked to true coordinates — the
+        reference's numerical_ldg (branch_sampler.rs:480-504), vmapped over
+        the perturbation basis instead of a host loop."""
+
+        def num_ldg(weights, biases, w_precisions, error_precision, x, y, ld0):
+            flat = flatten_wb(weights, biases)
+            mask = flatten_wb(masks_w, masks_b)
+
+            def one(e):
+                ws, bs = unflatten_wb(flat + NUMERICAL_DELTA * e, weights, biases)
+                ld_i, _ = potential(ws, bs, w_precisions, error_precision, x, y)
+                return (ld_i - ld0) / NUMERICAL_DELTA
+
+            basis = jnp.eye(flat.shape[0]) * mask[:, None]
+            g_flat = jax.vmap(one)(basis) * mask
+            return unflatten_wb(g_flat, weights, biases)
+
+        def vg(weights, biases, w_precisions, error_precision, x, y):
+            ld, yp = potential(weights, biases, w_precisions, error_precision, x, y)
+            g = num_ldg(weights, biases, w_precisions, error_precision, x, y, ld)
+            return (ld, yp), g
+
+        return vg
 
     def hmc(
         key,
@@ -167,6 +217,8 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         n_params,
         step_factor=None,
     ):
+        vg = make_num_vg(masks_w, masks_b) if cfg.num_grad else vg_exact
+        num_vg = make_num_vg(masks_w, masks_b) if cfg.num_grad_traj else None
         k_eps, k_mom, k_acc = jax.random.split(key, 3)
         eps_w, eps_b = step_sizes(
             k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions,
@@ -215,9 +267,22 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
                 jnp.where(dead1, yp, yp1),
                 dead1,
             )
-            return new, neg_h
+            if record:
+                ys = {
+                    "hamiltonian": neg_h,
+                    "params": flatten_wb(w1, b1),
+                    "ldg": flatten_wb(gw1, gb1),
+                }
+                if num_vg is not None:
+                    _, (ngw, ngb) = num_vg(
+                        w1, b1, w_precisions, error_precision, x, y
+                    )
+                    ys["num_ldg"] = flatten_wb(ngw, ngb)
+            else:
+                ys = neg_h
+            return new, ys
 
-        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead), _ = jax.lax.scan(
+        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead), traj = jax.lax.scan(
             body, init, None, length=L
         )
 
@@ -234,7 +299,7 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         alpha = jnp.where(
             dead | jnp.isnan(log_acc), 0.0, jnp.minimum(1.0, jnp.exp(log_acc))
         )
-        return HMCResult(
+        res = HMCResult(
             weights=sel(w_f, weights),
             biases=sel(b_f, biases),
             code=code.astype(jnp.int32),
@@ -242,6 +307,13 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
             log_density=jnp.where(accepted, ld_f, ld0),
             accept_prob=alpha,
         )
+        if record:
+            traj = dict(traj)
+            traj["hamiltonian"] = jnp.concatenate(
+                [neg_h0[None], traj["hamiltonian"]]
+            )
+            return res, traj
+        return res
 
     return hmc
 
@@ -465,5 +537,62 @@ def make_gradient_descent(model_type: str, act_name: str, cfg: MCMCCfg):
             log_density=ld,
             accept_prob=jnp.asarray(1.0),
         )
+
+    return gd
+
+
+def make_gradient_descent_joint(model_type: str, act_name: str, cfg: MCMCCfg):
+    """Fixed-step gradient ascent on the JOINT density over params and
+    precisions (branch_sampler.rs:1019-1066). Rejects (restoring the initial
+    state) if the error precision goes non-positive.
+
+    Signature matches make_hmc_step_joint.
+    """
+    L = cfg.hmc_integration_length
+    factor = cfg.hmc_step_size_factor
+
+    def potential(wb, precs, x, y, hyper, statics_g, reg_sum_others, n_out_global):
+        weights, biases = wb
+        w_prec, b_prec, err_prec = precs
+        _, acts = D.forward(act_name, weights, biases, x)
+        y_pred = acts[-1][:, 0]
+        r = y_pred - y
+        rss = jnp.sum(r * r)
+        ld = D.log_density_joint(
+            model_type, weights, biases, w_prec, b_prec, err_prec, rss,
+            hyper, statics_g, reg_sum_others, n_out_global,
+            jnp.asarray(y.shape[0], jnp.float32),
+        )
+        return ld, y_pred
+
+    vg = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
+
+    def gd(
+        key, weights, biases, w_prec, b_prec, err_prec, x, y,
+        masks_w, masks_b, n_params, n_precisions, hyper, statics_g,
+        reg_sum_others, n_out_global,
+    ):
+        del key, n_params, n_precisions
+        q0 = ((weights, biases), (w_prec, b_prec, jnp.asarray(err_prec, jnp.float32)))
+
+        def step(q, _):
+            (ld, yp), g = vg(*q, x, y, hyper, statics_g, reg_sum_others, n_out_global)
+            q = jax.tree.map(lambda a, da: a + factor * da, q, g)
+            return q, None
+
+        q_f, _ = jax.lax.scan(step, q0, None, length=L)
+        (ld, yp), _ = vg(*q_f, x, y, hyper, statics_g, reg_sum_others, n_out_global)
+        (w_f, b_f), (wp_f, bp_f, ep_f) = q_f
+        ok = ep_f > 0.0
+        sel = lambda new, old: jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+        res = HMCResult(
+            weights=sel(w_f, weights),
+            biases=sel(b_f, biases),
+            code=jnp.where(ok, ACCEPTED, REJECTED).astype(jnp.int32),
+            y_pred=jnp.where(ok, yp, D.predict(act_name, weights, biases, x)),
+            log_density=ld,
+            accept_prob=jnp.where(ok, 1.0, 0.0),
+        )
+        return res, sel(wp_f, w_prec), sel(bp_f, b_prec), jnp.where(ok, ep_f, err_prec)
 
     return gd

@@ -146,6 +146,59 @@ def _trace_line(net: Net, state) -> dict:
     return rec
 
 
+def _unpad_flat(net: Net, g: int, flat: np.ndarray) -> list:
+    """Padded-flat (raveled padded layers, weights then biases) -> reference
+    param_vec order (column-major true weights per layer, then biases)."""
+    arch = net.arch
+    ins = arch.layer_in_counts()
+    outs = arch.layer_out_counts()
+    pieces, ix = [], 0
+    for l in range(arch.num_layers):
+        ip, op = arch.layer_in_pad(l), arch.layer_out_pad(l)
+        w = flat[ix : ix + ip * op].reshape(ip, op)
+        pieces.append(w[: ins[l][g], : outs[l][g]].reshape(-1, order="F"))
+        ix += ip * op
+    for l in range(arch.num_layers - 1):
+        op = arch.layer_out_pad(l)
+        b = flat[ix : ix + op]
+        pieces.append(b[: outs[l][g]])
+        ix += op
+    return np.concatenate(pieces).tolist()
+
+
+def _write_traj_lines(f, net: Net, traj) -> None:
+    """One JSONL record per branch update, in update order
+    (trajectory.rs:4-43 schema: params/ldg/num_ldg series + hamiltonian)."""
+    perm = np.asarray(traj["perm"])
+    params = np.asarray(traj["params"])  # [G, L, P]
+    ldg = np.asarray(traj["ldg"])
+    ham = np.asarray(traj["hamiltonian"])  # [G, L+1]
+    num_ldg = np.asarray(traj["num_ldg"]) if "num_ldg" in traj else None
+    for i, g in enumerate(perm):
+        rec = {
+            "branch_ix": int(g),
+            "params": [_unpad_flat(net, g, params[i, t]) for t in range(params.shape[1])],
+            "precisions": [],
+            "ldg": [_unpad_flat(net, g, ldg[i, t]) for t in range(ldg.shape[1])],
+            "num_ldg": (
+                [_unpad_flat(net, g, num_ldg[i, t]) for t in range(num_ldg.shape[1])]
+                if num_ldg is not None
+                else []
+            ),
+            "hamiltonian": ham[i].tolist(),
+        }
+        f.write(json.dumps(rec) + "\n")
+
+
+def _write_effect_sizes(net: Net, X, model_ix: int, outdir: str, state) -> None:
+    """effect_sizes/<model_ix>_<branch_ix> CSV: n rows x m_g cols of
+    |d y_hat / d x| input gradients (net.rs:571-587)."""
+    es = np.asarray(net.effect_sizes(X, state))  # [G, n, m_pad]
+    for g in range(net.arch.num_branches):
+        path = os.path.join(outdir, f"{model_ix}_{g}")
+        np.savetxt(path, es[g][:, : net.arch.m[g]], delimiter=",", fmt="%.7g")
+
+
 def prepare_state_for_training(net: Net, cfg_fixed_precision: Optional[float]):
     """Inject the GlobalParams init into the state, as the reference's first
     ``update_global_params`` does (architectures.rs:216-236, net.rs:262):
@@ -187,6 +240,8 @@ def train(
     save_models = cfg.chain_length > cfg.burn_in
     if save_models:
         os.makedirs(cfg.models_path(), exist_ok=True)
+        if cfg.effect_sizes:
+            os.makedirs(cfg.effect_sizes_path(), exist_ok=True)
     _write_hyperparams(net, cfg)
     prepare_state_for_training(net, fixed_param_precision)
 
@@ -207,6 +262,7 @@ def train(
 
     stats = TrainingStats()
     trace_f = open(cfg.trace_path(), "w") if cfg.trace else None
+    traj_f = open(cfg.trajectories_path(), "w") if cfg.trajectories else None
 
     def record(carry, sweep_stats=None):
         if sweep_stats is None:
@@ -273,12 +329,20 @@ def train(
     for chain_ix in range(1, cfg.chain_length + 1):
         carry, sweep_stats = sweep_jit(carry, X, y)
         record(carry, sweep_stats)
+        if traj_f is not None and sweep_stats.traj != ():
+            tr = sweep_stats.traj
+            if C > 1:
+                tr = jax.tree.map(lambda a: a[0], tr)
+            _write_traj_lines(traj_f, net, tr)
         counts = np.asarray(sweep_stats.counts)
         if C > 1:
             counts = counts.sum(axis=0)
         stats.update_counts(counts)
         if chain_ix >= cfg.burn_in and save_models:
             save_sample(carry, chain_ix)
+            if cfg.effect_sizes and not hasattr(X, "bytes"):
+                st = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
+                _write_effect_sizes(net, X, chain_ix, cfg.effect_sizes_path(), st)
         emit_trace(carry)
         if verbose and chain_ix % report_interval == 0:
             msg = (
@@ -300,6 +364,8 @@ def train(
         )
     if trace_f is not None:
         trace_f.close()
+    if traj_f is not None:
+        traj_f.close()
     stats.to_file(cfg.outpath)
 
     net.state = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
