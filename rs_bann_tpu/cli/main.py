@@ -90,6 +90,10 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     p.add_argument("--update-mode", choices=["sequential", "parallel"],
                    default="sequential")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 matmul inputs (f32 accumulation); sampler stays exact",
+    )
 
 
 def _add_train_io_args(p: argparse.ArgumentParser):
@@ -269,6 +273,9 @@ def cmd_simulate_y(args):
 def cmd_train_new(args):
     _force_cpu_if(args.cpu)
     from ..models import density as D
+
+    if args.bf16:
+        D.set_compute_dtype("bfloat16")
     from ..models.arch import NetArch
     from ..models.init import InitCfg, init_net
     from ..models.net import Net
@@ -330,6 +337,10 @@ def cmd_train_new(args):
 
 def cmd_train(args):
     _force_cpu_if(args.cpu)
+    if args.bf16:
+        from ..models import density as D
+
+        D.set_compute_dtype("bfloat16")
     from ..models.net import Net
     from ..sim import set_replicate_ix
     from ..train import train

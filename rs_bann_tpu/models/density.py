@@ -157,6 +157,31 @@ def x_slice(x, g):
     return x[g]
 
 
+# Optional reduced-precision matmul inputs (f32 accumulation on the MXU).
+# None = full f32 (reference parity); "bfloat16" halves HBM traffic and
+# doubles MXU rate at the cost of input rounding — the Metropolis correction
+# keeps the sampler exact regardless (the proposal just changes slightly).
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype):
+    """Set matmul input dtype globally: None (f32) or "bfloat16"."""
+    global _COMPUTE_DTYPE
+    assert dtype in (None, "bfloat16"), dtype
+    _COMPUTE_DTYPE = dtype
+
+
+def matmul(a, b):
+    """a @ b with optional bf16 inputs and always-f32 accumulation."""
+    if _COMPUTE_DTYPE is not None:
+        a = a.astype(_COMPUTE_DTYPE)
+        b = b.astype(_COMPUTE_DTYPE)
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _layer0(weights0, bias0, x):
     if isinstance(x, PackedX):
         from ..ops.packed_matmul import packed_matmul
@@ -164,7 +189,7 @@ def _layer0(weights0, bias0, x):
         w0p = x.w_scale[:, None] * weights0
         z = packed_matmul(x.bytes, w0p, x.n) - (x.shift @ w0p)[None, :]
         return z + bias0[None, :]
-    return x @ weights0 + bias0[None, :]
+    return matmul(x, weights0) + bias0[None, :]
 
 
 def forward(act_name: str, weights, biases, x):
@@ -184,11 +209,11 @@ def forward(act_name: str, weights, biases, x):
     a = h(z)
     acts.append(a)
     for l in range(1, num_layers - 1):
-        z = a @ weights[l] + biases[l][None, :]
+        z = matmul(a, weights[l]) + biases[l][None, :]
         pre.append(z)
         a = h(z)
         acts.append(a)
-    out = a @ weights[-1]
+    out = matmul(a, weights[-1])
     acts.append(out)
     return pre, acts
 

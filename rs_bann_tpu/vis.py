@@ -192,3 +192,43 @@ def plot_posterior_means(trace, true_params, branch_ix=0, burn_in=0, save_to=Non
     if save_to:
         fig.savefig(save_to, dpi=120)
     return fig
+
+
+# --------------------------------------------------------- MCMC diagnostics
+
+
+def autocorr(x: np.ndarray, max_lag: int = None) -> np.ndarray:
+    """Normalized autocorrelation of a 1-D chain via FFT."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    if max_lag is None:
+        max_lag = n - 1
+    x = x - x.mean()
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, nfft)
+    acov = np.fft.irfft(f * np.conj(f))[: max_lag + 1]
+    if acov[0] == 0:
+        return np.zeros(max_lag + 1)
+    return (acov / acov[0]).real
+
+
+def ess(x: np.ndarray) -> float:
+    """Effective sample size with Geyer's initial positive sequence
+    truncation (sum consecutive autocorrelation pairs until negative)."""
+    x = np.asarray(x, np.float64)
+    n = x.shape[0]
+    if n < 4 or x.std() == 0:
+        return float(n)
+    rho = autocorr(x)
+    s = 0.0
+    for t in range(1, n // 2):
+        pair = rho[2 * t - 1] + (rho[2 * t] if 2 * t < len(rho) else 0.0)
+        if pair < 0:
+            break
+        s += pair
+    return float(n / (1.0 + 2.0 * s))
+
+
+def ess_per_param(trace_matrix: np.ndarray) -> np.ndarray:
+    """ESS for each column of an [iterations, params] matrix."""
+    return np.array([ess(trace_matrix[:, j]) for j in range(trace_matrix.shape[1])])
