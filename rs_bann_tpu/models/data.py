@@ -31,17 +31,21 @@ def pack_stacked(arch: NetArch, bed, grouping, y) -> StackedData:
     """Build the 2-bit packed stacked form: X is a PackedX whose leaves have a
     leading branch axis. 16x less HBM than the dense form; requires the fused
     decode path (ops/packed_matmul.py)."""
+    from ..ops.packed_matmul import GBYTES, GROUP, pack_strided
     from .density import PackedX
 
     n = bed.num_individuals
-    B = bed.num_bytes_per_col
     G = arch.num_branches
-    by = np.full((G, arch.m_pad, B), 0x55, np.uint8)  # code 01 decodes to 0
+    B = -(-n // GROUP) * GBYTES  # group-strided bytes per marker
+    by = np.empty((G, arch.m_pad, B), np.uint8)
     scale = np.zeros((G, arch.m_pad), np.float32)
     shift = np.zeros((G, arch.m_pad), np.float32)
+    raw = np.zeros((arch.m_pad, n), np.float32)
     for g in range(G):
         ixs = np.asarray(grouping.group(g))
-        by[g, : arch.m[g]] = bed.data[ixs]
+        raw[:] = 0.0
+        raw[: arch.m[g]] = bed.get_cols(ixs)
+        by[g] = pack_strided(raw)
         std = bed.col_stds[ixs]
         scale[g, : arch.m[g]] = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 0.0)
         shift[g, : arch.m[g]] = bed.col_means[ixs]
@@ -54,9 +58,14 @@ def stack_standardized(
     columns: Sequence[np.ndarray],  # per-branch [n, m_g] raw (or standardized)
     y: np.ndarray,
     standardize: bool = True,
+    dtype=np.float32,
 ) -> StackedData:
     """Pad per-branch matrices into [G, n, m_pad]; optionally standardize
-    columns to mean 0 / std 1 (population std, matching io/bed.rs:231-242)."""
+    columns to mean 0 / std 1 (population std, matching io/bed.rs:231-242).
+
+    ``dtype``: storage dtype of X. bfloat16 halves the HBM streaming cost of
+    the dominant layer-0 reads; matmuls accumulate in f32 either way.
+    """
     n = columns[0].shape[0]
     G = arch.num_branches
     X = np.zeros((G, n, arch.m_pad), np.float32)
@@ -68,4 +77,7 @@ def stack_standardized(
             std = xg.std(axis=0)  # population std (ddof=0), like the reference
             xg = (xg - mean) / np.where(std > 0, std, 1.0)
         X[g, :, : arch.m[g]] = xg
-    return StackedData(jnp.asarray(X), jnp.asarray(np.asarray(y, np.float32)))
+    Xj = jnp.asarray(X)
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        Xj = Xj.astype(dtype)
+    return StackedData(Xj, jnp.asarray(np.asarray(y, np.float32)))

@@ -2,10 +2,18 @@
 
 The reference decodes bed bytes on the host and uploads a dense standardized
 f32 submatrix per branch update (/root/reference/src/io/bed.rs:325-355). Here
-the 2-bit PLINK codes stay packed in HBM — 16x less memory than f32, which is
-what makes genome-scale (e.g. 460k x 10k ≈ 1.15 GB packed vs 18 GB dense)
-HBM-resident — and each matmul tile unpacks bytes to genotypes in VMEM right
-before hitting the MXU.
+the 2-bit codes stay packed in HBM — 16x less memory AND 16x less HBM traffic
+than f32, which is what makes genome-scale inputs (460k x 10k ≈ 1.15 GB
+packed vs 18 GB dense) resident and the streaming of X essentially free —
+and each matmul tile unpacks bytes to genotypes in VMEM right before the MXU.
+
+Layout: PLINK's byte order interleaves 4 consecutive individuals per byte;
+unpacking that in-kernel needs an interleaving reshape the TPU vector unit
+cannot lower. We therefore repack on the host into a *group-strided* layout:
+individuals are grouped in blocks of 512; within a group, byte j holds
+individuals (j, j+128, j+256, j+384) in bit pairs (0, 2, 4, 6). In-kernel
+decode of a [TM, 128]-byte tile is then four shift-mask ops and one
+lane-aligned concatenate -> [TM, 512] genotypes in natural order.
 
 Standardization never appears in the kernel: for standardized X_std with
 column means μ and stds σ,
@@ -13,13 +21,13 @@ column means μ and stds σ,
     X_std @ W = decode(bytes) @ (W / σ[:,None]) − (μ/σ) @ W
 
 so the caller folds 1/σ into the weights and subtracts a rank-1 row
-correction (see models/density.py PackedX handling). The same unpack with the
-opposite contraction gives the backward pass:
+correction (models/density.py PackedX). The same unpack with the transposed
+contraction is the custom-VJP backward:
 
-    d/dW [decode(bytes) @ W] = decode(bytes)ᵀ-contraction with the cotangent
+    d/dW [decode(bytes) @ W] = decode(bytes) contracted with the cotangent
 
 2-bit decode (io/bed.rs lookup semantics): code 00→2, 01→0 (missing,
-impute-beforehand contract), 10→1, 11→0, lowest bit pair = first individual.
+impute-beforehand contract), 10→1, 11→0.
 """
 
 from __future__ import annotations
@@ -30,6 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+GROUP = 512  # individuals per strided group
+GBYTES = GROUP // 4  # bytes per group (= lane width 128)
+
+# genotype value -> 2-bit code and back (io/bed.rs:16)
+_VALUE_TO_CODE = np.array([0b11, 0b10, 0b00], np.uint8)
+
 
 def _decode_codes(codes):
     """2-bit code -> genotype value, branchless: v = (c==0)*2 + (c==2)."""
@@ -37,44 +51,75 @@ def _decode_codes(codes):
 
 
 def unpack_bytes(bytes_mb: jax.Array, n: int) -> jax.Array:
-    """[m, B] uint8 -> [m, n] f32 genotypes (vectorized, no gather)."""
+    """Standard PLINK byte order: [m, B] uint8 -> [m, n] f32 genotypes."""
     b = bytes_mb.astype(jnp.int32)
-    parts = [ (b >> (2 * i)) & 0b11 for i in range(4) ]  # 4 x [m, B]
+    parts = [(b >> (2 * i)) & 0b11 for i in range(4)]
     codes = jnp.stack(parts, axis=-1).reshape(b.shape[0], b.shape[1] * 4)
     return _decode_codes(codes)[:, :n]
+
+
+# ------------------------------------------------------- strided layout
+
+
+def pack_strided(vals: np.ndarray) -> np.ndarray:
+    """[m, n] genotypes {0,1,2} -> group-strided packed [m, ceil(n/512)*128].
+
+    Within each 512-individual group, byte j carries individuals
+    (j, j+128, j+256, j+384) in bit pairs (0, 2, 4, 6). Missing tail
+    individuals get code 01 (decodes to 0).
+    """
+    m, n = vals.shape
+    ngroups = -(-n // GROUP)
+    codes = np.full((m, ngroups * GROUP), 0b01, np.uint8)
+    codes[:, :n] = _VALUE_TO_CODE[vals.astype(np.int64)]
+    codes = codes.reshape(m, ngroups, 4, GBYTES)  # [m, g, quarter, j]
+    out = (
+        codes[:, :, 0, :]
+        | (codes[:, :, 1, :] << 2)
+        | (codes[:, :, 2, :] << 4)
+        | (codes[:, :, 3, :] << 6)
+    )
+    return np.ascontiguousarray(out.reshape(m, ngroups * GBYTES))
+
+
+def unpack_strided(bytes_mb: jax.Array, n: int) -> jax.Array:
+    """Group-strided packed [m, B] -> [m, n] f32 genotypes."""
+    m, B = bytes_mb.shape
+    ngroups = B // GBYTES
+    b = bytes_mb.astype(jnp.int32).reshape(m, ngroups, GBYTES)
+    parts = [(b >> (2 * i)) & 0b11 for i in range(4)]
+    codes = jnp.concatenate(parts, axis=-1)  # [m, g, 512]
+    return _decode_codes(codes).reshape(m, ngroups * GROUP)[:, :n]
+
+
+def _kernel_decode(byte_tile):
+    """[TM, 128·k] strided bytes -> [TM, 512·k] genotypes (TPU-lowerable)."""
+    b = byte_tile.astype(jnp.int32)
+    parts = [(b >> (2 * i)) & 0b11 for i in range(4)]
+    codes = jnp.concatenate(parts, axis=-1)
+    return _decode_codes(codes)
 
 
 # ------------------------------------------------------------- jnp fallback
 
 
 def _packed_matmul_ref(bytes_mb, a, n):
-    """Z[n, k] = decode(bytes)[m, n]^T-contraction with A[m, k]."""
-    dec = unpack_bytes(bytes_mb, n)  # [m, n]
+    """Z[n, k] = decode(bytes)[m, :n] as [n, m] @ A[m, k]."""
+    dec = unpack_strided(bytes_mb, n)  # [m, n]
     return jax.lax.dot_general(
         dec, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [n, k]
-
-
-def _packed_matmul_t_ref(bytes_mb, g, n):
-    """dA[m, k] = decode(bytes)[m, n] @ G[n, k]."""
-    dec = unpack_bytes(bytes_mb, n)
-    return jax.lax.dot_general(
-        dec, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
 # ------------------------------------------------------------ pallas kernel
 
-_TILE_N = 256  # individuals per tile (must be divisible by 4... bytes: /4)
+_TILE_N = GROUP  # individuals per tile (one strided group = 128 bytes)
 _TILE_M = 128  # markers per tile
 _TILE_K = 128  # output features per tile
 
 
 def _fwd_kernel(bytes_ref, a_ref, out_ref, acc_ref, *, n_mtiles):
     """grid (n_tiles, k_tiles, m_tiles): acc[TN, TK] += dec(TM,TN)^T A(TM,TK)."""
-    import jax.numpy as jnp
-
-    mi = jax.lax.axis_index if False else None  # doc only
     from jax.experimental import pallas as pl
 
     m_ix = pl.program_id(2)
@@ -83,10 +128,7 @@ def _fwd_kernel(bytes_ref, a_ref, out_ref, acc_ref, *, n_mtiles):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = bytes_ref[:].astype(jnp.int32)  # [TM, TN//4]
-    parts = [(b >> (2 * i)) & 0b11 for i in range(4)]
-    codes = jnp.stack(parts, axis=-1).reshape(b.shape[0], b.shape[1] * 4)
-    dec = (codes == 0).astype(jnp.float32) * 2.0 + (codes == 2).astype(jnp.float32)
+    dec = _kernel_decode(bytes_ref[:])  # [TM, TN]
     acc_ref[:] += jax.lax.dot_general(
         dec, a_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -99,7 +141,6 @@ def _fwd_kernel(bytes_ref, a_ref, out_ref, acc_ref, *, n_mtiles):
 
 def _bwd_kernel(bytes_ref, g_ref, out_ref, acc_ref, *, n_ntiles):
     """grid (m_tiles, k_tiles, n_tiles): acc[TM, TK] += dec(TM,TN) G(TN,TK)."""
-    import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     n_ix = pl.program_id(2)
@@ -108,10 +149,7 @@ def _bwd_kernel(bytes_ref, g_ref, out_ref, acc_ref, *, n_ntiles):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = bytes_ref[:].astype(jnp.int32)
-    parts = [(b >> (2 * i)) & 0b11 for i in range(4)]
-    codes = jnp.stack(parts, axis=-1).reshape(b.shape[0], b.shape[1] * 4)
-    dec = (codes == 0).astype(jnp.float32) * 2.0 + (codes == 2).astype(jnp.float32)
+    dec = _kernel_decode(bytes_ref[:])
     acc_ref[:] += jax.lax.dot_general(
         dec, g_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -132,21 +170,20 @@ def _pallas_fwd(bytes_mb, a, n, interpret=False):
 
     m, B = bytes_mb.shape
     k = a.shape[1]
-    assert n <= B * 4
-    tn = min(_TILE_N, B * 4)
+    assert B % GBYTES == 0 and n <= B * 4
     tm = min(_TILE_M, m)
     tk = min(_TILE_K, k)
-    grid = (_cdiv(B * 4, tn), _cdiv(k, tk), _cdiv(m, tm))
+    grid = (B // GBYTES, _cdiv(k, tk), _cdiv(m, tm))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n_mtiles=grid[2]),
         out_shape=jax.ShapeDtypeStruct((B * 4, k), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, tn // 4), lambda ni, ki, mi: (mi, ni)),
+            pl.BlockSpec((tm, GBYTES), lambda ni, ki, mi: (mi, ni)),
             pl.BlockSpec((tm, tk), lambda ni, ki, mi: (mi, ki)),
         ],
-        out_specs=pl.BlockSpec((tn, tk), lambda ni, ki, mi: (ni, ki)),
-        scratch_shapes=[pltpu.VMEM((tn, tk), jnp.float32)],
+        out_specs=pl.BlockSpec((_TILE_N, tk), lambda ni, ki, mi: (ni, ki)),
+        scratch_shapes=[pltpu.VMEM((_TILE_N, tk), jnp.float32)],
         interpret=interpret,
     )(bytes_mb, a)
     return out[:n]
@@ -158,17 +195,17 @@ def _pallas_bwd(bytes_mb, g_pad, n, interpret=False):
 
     m, B = bytes_mb.shape
     k = g_pad.shape[1]
-    tn = min(_TILE_N, B * 4)
+    assert B % GBYTES == 0
     tm = min(_TILE_M, m)
     tk = min(_TILE_K, k)
-    grid = (_cdiv(m, tm), _cdiv(k, tk), _cdiv(B * 4, tn))
+    grid = (_cdiv(m, tm), _cdiv(k, tk), B // GBYTES)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n_ntiles=grid[2]),
         out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, tn // 4), lambda mi, ki, ni: (mi, ni)),
-            pl.BlockSpec((tn, tk), lambda mi, ki, ni: (ni, ki)),
+            pl.BlockSpec((tm, GBYTES), lambda mi, ki, ni: (mi, ni)),
+            pl.BlockSpec((_TILE_N, tk), lambda mi, ki, ni: (ni, ki)),
         ],
         out_specs=pl.BlockSpec((tm, tk), lambda mi, ki, ni: (mi, ki)),
         scratch_shapes=[pltpu.VMEM((tm, tk), jnp.float32)],
@@ -185,10 +222,11 @@ def _use_pallas():
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def packed_matmul(bytes_mb, a, n):
-    """Z[n, k] = decode(bytes_mb)[m, :n] (as [n, m]) @ a[m, k].
+    """Z[n, k] = decode_strided(bytes_mb)[m, :n] (as [n, m]) @ a[m, k].
 
-    Differentiable in ``a`` only. Individuals beyond n (bed byte padding)
-    decode to junk; the forward slices them away and the backward masks them.
+    ``bytes_mb`` must be in the group-strided layout (pack_strided).
+    Differentiable in ``a`` only. Individuals beyond n decode to 0 (missing
+    code), so the forward slice and the zero-padded backward are exact.
     """
     if _use_pallas():
         return _pallas_fwd(bytes_mb, a, n)
@@ -200,13 +238,13 @@ def _fwd(bytes_mb, a, n):
 
 
 def _bwd(n, bytes_mb, gz):
-    # gz: [n, k]; pad to B*4 rows with zeros so padded individuals contribute 0
+    # pad the cotangent to B*4 rows with zeros: padded individuals contribute 0
     B4 = bytes_mb.shape[1] * 4
     gz_pad = jnp.zeros((B4, gz.shape[1]), gz.dtype).at[:n].set(gz)
     if _use_pallas():
         da = _pallas_bwd(bytes_mb, gz_pad, n)
     else:
-        dec = unpack_bytes(bytes_mb, B4)
+        dec = unpack_strided(bytes_mb, B4)
         da = jax.lax.dot_general(
             dec, gz_pad, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

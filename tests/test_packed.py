@@ -17,7 +17,9 @@ from rs_bann_tpu.ops.packed_matmul import (
     _packed_matmul_ref,
     _pallas_bwd,
     _pallas_fwd,
+    pack_strided,
     unpack_bytes,
+    unpack_strided,
 )
 from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
 
@@ -40,6 +42,17 @@ def test_unpack_matches_bed_decode():
     bed = BedVM.random(23, 5, seed=1)
     dec = np.asarray(unpack_bytes(jnp.asarray(bed.data), 23))
     np.testing.assert_array_equal(dec, bed.data_f32().T)
+
+
+def test_strided_pack_round_trip():
+    rng = np.random.default_rng(0)
+    for n in (512, 513, 700, 1024, 37):
+        vals = rng.integers(0, 3, size=(5, n)).astype(np.float32)
+        by = pack_strided(vals)
+        assert by.shape[1] % 128 == 0
+        np.testing.assert_array_equal(
+            np.asarray(unpack_strided(jnp.asarray(by), n)), vals
+        )
 
 
 def test_packed_forward_matches_dense():
@@ -91,11 +104,9 @@ def test_packed_sweep_matches_dense(update_mode):
 def test_pallas_kernels_interpret_mode():
     """The TPU kernels, run in interpreter mode on CPU, match the jnp ref."""
     rng = np.random.default_rng(0)
-    m, n, k = 16, 64, 8
-    vals = rng.integers(0, 3, size=(m, n))
-    from rs_bann_tpu.io.bed import pack_genotypes
-
-    by = jnp.asarray(pack_genotypes(vals))
+    m, n, k = 16, 600, 8
+    vals = rng.integers(0, 3, size=(m, n)).astype(np.float32)
+    by = jnp.asarray(pack_strided(vals))
     a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
     ref = np.asarray(_packed_matmul_ref(by, a, n))
     out = np.asarray(_pallas_fwd(by, a, n, interpret=True))
@@ -104,7 +115,7 @@ def test_pallas_kernels_interpret_mode():
     g = jnp.asarray(rng.standard_normal((by.shape[1] * 4, k)).astype(np.float32))
     ref_b = np.asarray(
         jax.lax.dot_general(
-            unpack_bytes(by, by.shape[1] * 4), g, (((1,), (0,)), ((), ()))
+            unpack_strided(by, by.shape[1] * 4), g, (((1,), (0,)), ((), ()))
         )
     )
     out_b = np.asarray(_pallas_bwd(by, g, n, interpret=True))
