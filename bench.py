@@ -65,7 +65,12 @@ def main():
         num_chains=C,
         seed=0,
     )
-    sweep = jax.jit(jax.vmap(net.make_sweep(cfg), in_axes=(0, None, None)))
+    sweep1 = net.make_sweep(cfg)
+    # sequential chains in one program: faster than a vmapped chain batch
+    # on a single chip (VMEM pressure); see DESIGN.md performance notes
+    sweep = jax.jit(
+        lambda c, X_, y_: jax.lax.map(lambda ci: sweep1(ci, X_, y_), c)
+    )
     keys = jax.random.split(jax.random.key(0), C)
     carry = jax.vmap(lambda k: net.init_carry(X, y, k))(keys)
 

@@ -232,3 +232,36 @@ def ess(x: np.ndarray) -> float:
 def ess_per_param(trace_matrix: np.ndarray) -> np.ndarray:
     """ESS for each column of an [iterations, params] matrix."""
     return np.array([ess(trace_matrix[:, j]) for j in range(trace_matrix.shape[1])])
+
+
+def split_rhat(chains: np.ndarray) -> float:
+    """Split-chain Gelman-Rubin potential scale reduction factor.
+
+    chains: [n_chains, n_samples]. Each chain is split in half (Vehtari et
+    al. 2021 convention), then R-hat = sqrt(((n-1)/n * W + B/n) / W).
+    """
+    chains = np.asarray(chains, np.float64)
+    c, n = chains.shape
+    half = n // 2
+    if half < 2:
+        return float("nan")
+    splits = np.concatenate([chains[:, :half], chains[:, half : 2 * half]], axis=0)
+    m, n2 = splits.shape
+    means = splits.mean(axis=1)
+    w = splits.var(axis=1, ddof=1).mean()
+    b = n2 * means.var(ddof=1)
+    if w == 0:
+        return 1.0
+    return float(np.sqrt(((n2 - 1) / n2 * w + b / n2) / w))
+
+
+def multichain_diagnostics(chains: np.ndarray) -> dict:
+    """Summary for one scalar quantity tracked across chains:
+    [n_chains, n_samples] -> {rhat, ess_per_chain, ess_total}."""
+    chains = np.asarray(chains, np.float64)
+    ess_c = [ess(c) for c in chains]
+    return {
+        "rhat": split_rhat(chains),
+        "ess_per_chain": ess_c,
+        "ess_total": float(np.sum(ess_c)),
+    }

@@ -107,3 +107,15 @@ def test_posterior_recovery_approaches_h2_ceiling(tmp_path):
     pm = preds.mean(axis=0)
     r2 = np.corrcoef(pm, np.asarray(data.y))[0, 1] ** 2
     assert r2 > 0.45, f"train r2 {r2} far below h2=0.7 ceiling"
+
+
+def test_split_rhat():
+    from rs_bann_tpu.vis import multichain_diagnostics, split_rhat
+
+    rng = np.random.default_rng(0)
+    same = rng.standard_normal((4, 400))
+    assert abs(split_rhat(same) - 1.0) < 0.05
+    shifted = same + np.array([0.0, 0.0, 5.0, 5.0])[:, None]
+    assert split_rhat(shifted) > 1.5
+    d = multichain_diagnostics(same)
+    assert d["ess_total"] > 800
