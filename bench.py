@@ -93,6 +93,25 @@ def main():
         f"acc={np.asarray(stats.counts)[:, 0].sum() / (sweeps * C * G + C * G):.2f})"
     )
 
+    # ---- secondary: effective samples per second (north-star metric #2):
+    # ESS of the per-sweep training-mse series across kept sweeps x chains
+    from rs_bann_tpu.vis import ess
+
+    ess_sweeps = 64
+    mse_series = []
+    t0 = time.time()
+    for _ in range(ess_sweeps):
+        carry, stats = sweep(carry, X, y)
+        mse_series.append(stats.mse_train)
+    jax.block_until_ready(stats)
+    ess_dt = time.time() - t0
+    mse_series = np.asarray(mse_series)  # [sweeps, C]
+    ess_total = sum(ess(mse_series[:, c]) for c in range(C))
+    log(
+        f"effective samples/s (mse statistic, {ess_sweeps} sweeps x {C} chains): "
+        f"{ess_total / ess_dt:.1f}"
+    )
+
     # ---- self-baseline: the reference's algorithm (sequential random-scan
     # Gibbs, one chain), fully compiled on the same chip
     base_cfg = MCMCCfg(

@@ -94,6 +94,11 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
         "--bf16", action="store_true",
         help="bfloat16 matmul inputs (f32 accumulation); sampler stays exact",
     )
+    p.add_argument(
+        "--packed-genotypes", action="store_true",
+        help="keep genotypes 2-bit packed in HBM with fused decode (16x less "
+        "device memory; best for genome-scale branches)",
+    )
 
 
 def _add_train_io_args(p: argparse.ArgumentParser):
@@ -326,8 +331,20 @@ def cmd_train_new(args):
                 g, arch.num_params_branch(g), train_data.num_individuals,
             )
     log.info("Training net")
-    dtr = train_data.to_stacked(arch)
-    dte = test_data.to_stacked(arch) if test_data is not None else None
+    if args.packed_genotypes:
+        from ..models.data import pack_stacked
+
+        dtr = pack_stacked(arch, train_data.gen.bed, train_data.gen.groups,
+                           train_data.y())
+        dte = (
+            pack_stacked(arch, test_data.gen.bed, test_data.gen.groups,
+                         test_data.y())
+            if test_data is not None
+            else None
+        )
+    else:
+        dtr = train_data.to_stacked(arch)
+        dte = test_data.to_stacked(arch) if test_data is not None else None
     train(
         net, dtr, cfg, test_data=dte, report_interval=args.report_interval,
         fixed_param_precision=args.fixed_param_precision,

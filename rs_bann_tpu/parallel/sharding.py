@@ -30,24 +30,36 @@ from ..samplers.mcmc_cfg import MCMCCfg
 
 
 def make_mesh(
-    n_chain: int, n_branch: int, devices=None
+    n_chain: int, n_branch: int, n_data: int = 1, devices=None
 ) -> Mesh:
+    """Mesh over (chain, branch, data) axes.
+
+    chain: data-parallel MCMC chains (no communication). branch: SNP-group
+    shards (residual all-reduce + scalar psums over ICI). data: individuals
+    — the reductions over n (rss, backprop sums) become psums; this is the
+    axis to map onto DCN for multi-host runs (SURVEY.md §2.7 axis 3).
+    """
     devices = devices if devices is not None else jax.devices()
-    assert n_chain * n_branch <= len(devices), (
-        f"mesh {n_chain}x{n_branch} needs {n_chain * n_branch} devices, "
+    need = n_chain * n_branch * n_data
+    assert need <= len(devices), (
+        f"mesh {n_chain}x{n_branch}x{n_data} needs {need} devices, "
         f"have {len(devices)}"
     )
-    dev = np.asarray(devices[: n_chain * n_branch]).reshape(n_chain, n_branch)
-    return Mesh(dev, ("chain", "branch"))
+    dev = np.asarray(devices[:need]).reshape(n_chain, n_branch, n_data)
+    return Mesh(dev, ("chain", "branch", "data"))
 
 
-def _carry_specs(carry: TrainCarry, chains: bool, shard_branch: bool):
+def _carry_specs(
+    carry: TrainCarry, chains: bool, shard_branch: bool, shard_data: bool = False
+):
     """PartitionSpec pytree matching a TrainCarry.
 
-    Stacked per-branch arrays lead with [C?, G, ...]; scalars replicate.
+    Stacked per-branch arrays lead with [C?, G, ...]; scalars replicate;
+    the residual vector shards over the data (individuals) axis.
     """
     c = "chain" if chains else None
     b = "branch" if shard_branch else None
+    dax = "data" if shard_data else None
 
     def spec(ndim_after_batch, branch_leading):
         base = [c] if chains else []
@@ -73,7 +85,7 @@ def _carry_specs(carry: TrainCarry, chains: bool, shard_branch: bool):
     )
     return TrainCarry(
         state=state_spec,
-        residual=P(c, None) if chains else P(None),
+        residual=P(c, dax) if chains else P(dax),
         lpd_local=P(c, b) if chains else P(b),
         lpd_out=P(c) if chains else P(),
         lpd_rss=P(c) if chains else P(),
@@ -103,6 +115,7 @@ def make_sharded_sweep(
     """
     chains = cfg.num_chains > 1
     shard_branch = cfg.update_mode == "parallel" and mesh.shape["branch"] > 1
+    shard_data = "data" in mesh.shape and mesh.shape["data"] > 1
     if shard_branch:
         assert net.arch.num_branches % mesh.shape["branch"] == 0, (
             f"num_branches {net.arch.num_branches} must divide evenly over the "
@@ -127,10 +140,11 @@ def make_sharded_sweep(
             )
         return c
 
-    specs = _carry_specs(dummy_carry(), chains, shard_branch)
+    specs = _carry_specs(dummy_carry(), chains, shard_branch, shard_data)
     b = "branch" if shard_branch else None
-    x_spec = P(b, None, None)
-    y_spec = P(None)
+    dax = "data" if shard_data else None
+    x_spec = P(b, dax, None)
+    y_spec = P(dax)
 
     def sh(spec_tree):
         return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,

@@ -43,13 +43,16 @@ def main():
     import tempfile
 
     h2s = [0.8] if args.quick else [0.25, 0.5, 0.8, 0.95]
-    cls = [10, 100]
+    # canonical chain lengths (sim_train_pred.sh) under the reference's
+    # izmailov scheme, plus the TPU-native adaptive configuration
+    configs = [("izmailov", 10), ("izmailov", 100), ("dual_averaging", 1000)]
+    if args.quick:
+        configs = configs[:2]
     m, b, n, w, d, il = 20, 1, 1000, 10, 0, 300
 
     results = {
         "workload": "sim_train_pred.sh: lasso-base b=1 m=20 n=1000 w=10 d=0 il=300 gamma(3,1)",
         "backend": jax.default_backend(),
-        "step_size_mode": args.step_size_mode,
         "update_mode": args.update_mode,
         "runs": [],
     }
@@ -62,7 +65,7 @@ def main():
             )
             dtr = sim.gen_train.to_stacked(sim.arch, sim.y_train)
             dte = sim.gen_test.to_stacked(sim.arch, sim.y_test)
-            for cl in cls:
+            for mode, cl in configs:
                 arch = NetArch.from_width_rules(
                     sim.gen_train.num_markers_per_group(), d,
                     ("fixed", w), ("like_hidden",),
@@ -72,7 +75,7 @@ def main():
                 cfg = MCMCCfg(
                     chain_length=cl, burn_in=cl // 2,
                     hmc_integration_length=il,
-                    hmc_step_size_mode=args.step_size_mode,
+                    hmc_step_size_mode=mode,
                     update_mode=args.update_mode,
                     outpath=f"{td}/run_cl{cl}", seed=3,
                 )
@@ -84,9 +87,12 @@ def main():
                 r2 = float(np.corrcoef(pm, np.asarray(dte.y))[0, 1] ** 2)
                 rec = {
                     "h2": h2,
+                    "step_size_mode": mode,
                     "chain_length": cl,
                     "test_r2_posterior_mean": round(r2, 4),
-                    "expected_r2_daetwyler": round(float(expected_r2(m, n, h2)), 4),
+                    # reliability k/(k+1); achievable phenotype r2 is h2 x this
+                    "reliability_daetwyler": round(float(expected_r2(m, n, h2)), 4),
+                    "achievable_r2": round(h2 * float(expected_r2(m, n, h2)), 4),
                     "mse_test_final": round(stats.mse_test[-1], 4),
                     "acceptance_rate": round(stats.acceptance_rate(), 3),
                     "early_rejection_rate": round(stats.early_rejection_rate(), 3),
