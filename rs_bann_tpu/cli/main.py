@@ -521,6 +521,20 @@ def cmd_population_effect_sizes(args):
     print(outdir)
 
 
+def cmd_split_train_test(args):
+    from ..io.preprocess import split_train_test
+
+    tr, te = split_train_test(args.bfile, args.test_n, args.seed, args.out_prefix)
+    print(tr)
+    print(te)
+
+
+def cmd_fill_missing_a2(args):
+    from ..io.preprocess import fill_missing_a2
+
+    print(fill_missing_a2(args.bfile, args.out_stem))
+
+
 def cmd_available_backends(args):
     import jax
 
@@ -656,6 +670,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bpgm(g)
     g.set_defaults(func=cmd_population_effect_sizes)
+
+    g = sub.add_parser(
+        "split-train-test",
+        help="Random train/test split of a bed fileset (plink-free).",
+    )
+    g.add_argument("bfile")
+    g.add_argument("test_n", type=int)
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("-o", "--out-prefix", default=None)
+    g.set_defaults(func=cmd_split_train_test)
+
+    g = sub.add_parser(
+        "fill-missing-a2",
+        help="Rewrite missing genotypes as homozygous A2 (plink-free).",
+    )
+    g.add_argument("bfile")
+    g.add_argument("-o", "--out-stem", default=None)
+    g.set_defaults(func=cmd_fill_missing_a2)
 
     g = sub.add_parser("available-backends", help="Print available jax backends.")
     g.set_defaults(func=cmd_available_backends)

@@ -34,6 +34,7 @@ class MCMCCfg:
     num_chains: int = 1  # TPU extension: vectorized chains (reference: 1)
     seed: int = 0  # TPU extension: fully reproducible runs (reference: none)
     target_accept: float = 0.8  # dual-averaging adaptation target (TPU ext.)
+    sweeps_per_call: int = 0  # 0 = auto: batch K sweeps per compiled call
     update_mode: str = "sequential"  # "sequential" (reference-exact random-scan
     # Gibbs) or "parallel" (block systematic-scan: all branches HMC against a
     # frozen residual snapshot; shared scalars updated once per sweep)

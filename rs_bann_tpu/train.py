@@ -348,6 +348,8 @@ def train(
     )
     if cfg.trajectories:
         K_auto = 1
+    elif cfg.sweeps_per_call > 0:
+        K_auto = cfg.sweeps_per_call
     else:
         K_auto = max(1, min(16, int(2e9 / max(state_bytes, 1))))
 

@@ -160,3 +160,55 @@ def test_compressed_genotypes_stacked(fixtures):
     # marker 2 and 4 of small have near-zero... marker 2 has variance here
     exp = (raw - raw.mean(0)) / np.where(raw.std(0) > 0, raw.std(0), 1.0)
     np.testing.assert_allclose(x0, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_split_train_test(fixtures, tmp_path):
+    import shutil
+
+    from rs_bann_tpu.io.preprocess import split_train_test
+
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(fixtures / f"small{ext}", tmp_path / f"small{ext}")
+    tr, te = split_train_test(tmp_path / "small", 5, seed=1)
+    btr, bte = BedVM.from_file(tr), BedVM.from_file(te)
+    assert btr.num_individuals == 15 and bte.num_individuals == 5
+    assert btr.num_markers == 11
+    # split rows reassemble the original matrix
+    full = np.vstack([btr.data_f32(), bte.data_f32()])
+    orig = SMALL_MATRIX
+    assert sorted(map(tuple, full.tolist())) == sorted(map(tuple, orig.tolist()))
+    # fam rows follow the kept individuals
+    assert len(open(str(tr) + ".fam").readlines()) == 15
+
+
+def test_fill_missing_a2(tmp_path):
+    from rs_bann_tpu.io.bed import BED_SIGNATURE
+    from rs_bann_tpu.io.preprocess import fill_missing_a2
+
+    # craft a bed with a missing (01) code: byte 0b11_10_01_00 ->
+    # individuals [2, 0(missing), 1, 0]
+    (tmp_path / "x.bed").write_bytes(BED_SIGNATURE + bytes([0b11100100]))
+    (tmp_path / "x.dims").write_text("4\t1")
+    out = fill_missing_a2(tmp_path / "x")
+    raw = (out.with_suffix(".bed")).read_bytes()
+    assert raw[3] == 0b11101100  # 01 -> 11 at its field, others untouched
+    np.testing.assert_array_equal(
+        BedVM.from_file(out).data_f32().ravel(), [2, 0, 1, 0]
+    )
+
+
+def test_chromosome_mappings():
+    from rs_bann_tpu.io.mappings import (
+        chr2refseq,
+        normalize_chromosome,
+        refseq2chr,
+    )
+
+    assert chr2refseq["1"] == "NC_000001.10"
+    assert refseq2chr["NC_000019.9"] == "19"
+    assert normalize_chromosome("chr7") == "7"
+    assert normalize_chromosome("NC_000023.10") == "X"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_chromosome("NC_999999.1")

@@ -172,3 +172,23 @@ def test_gradient_descent_mode(tmp_path):
     )
     net, stats = train(net, dtr, cfg, verbose=False)
     assert stats.mse_train[-1] < stats.mse_train[0]
+
+
+def test_sweep_batching_is_exact(tmp_path):
+    """K sweeps per compiled call (lax.scan) must reproduce the K=1 path
+    bit-for-bit: same seeds, same saved samples, same stats."""
+    arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.6, n=200)
+    outs = []
+    for K in (1, 4):
+        state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+        net = Net("ridge_base", arch, D.Hyperparameters(), state)
+        cfg = MCMCCfg(
+            chain_length=6, burn_in=3, hmc_integration_length=20,
+            outpath=str(tmp_path / f"K{K}"), seed=9, sweeps_per_call=K,
+        )
+        net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+        outs.append((np.asarray(net.predict(dte.X)), stats.mse_train, stats.mse_test))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
