@@ -94,6 +94,10 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
         "--bf16", action="store_true",
         help="bfloat16 matmul inputs (f32 accumulation); sampler stays exact",
     )
+    p.add_argument("--checkpoint-interval", type=int, default=0,
+                   help="write <run>/checkpoint.npz every N iterations")
+    p.add_argument("--resume", default=None,
+                   help="resume exactly from a checkpoint.npz (incl. RNG)")
     p.add_argument(
         "--packed-genotypes", action="store_true",
         help="keep genotypes 2-bit packed in HBM with fused decode (16x less "
@@ -348,6 +352,7 @@ def cmd_train_new(args):
     train(
         net, dtr, cfg, test_data=dte, report_interval=args.report_interval,
         fixed_param_precision=args.fixed_param_precision,
+        checkpoint_interval=args.checkpoint_interval, resume_from=args.resume,
     )
     print(outdir)
 
@@ -393,6 +398,7 @@ def cmd_train(args):
     train(
         net, dtr, cfg, test_data=dte, report_interval=args.report_interval,
         fixed_param_precision=args.fixed_param_precision,
+        checkpoint_interval=args.checkpoint_interval, resume_from=args.resume,
     )
     print(outdir)
 

@@ -231,6 +231,56 @@ def prepare_state_for_training(net: Net, cfg_fixed_precision: Optional[float]):
     return net
 
 
+def save_checkpoint(path, carry: TrainCarry, chain_ix: int, stats: "TrainingStats"):
+    """Serialize the FULL sampler state — including the PRNG key — so a run
+    resumes bit-for-bit. (The reference checkpoints the model but not its
+    RNG, so its resumed chains are not reproducible; SURVEY.md §5.)"""
+    leaves, treedef = jax.tree.flatten(carry)
+    arrays = {}
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(
+            jax.random.key_data(leaf)
+            if jnp.issubdtype(getattr(leaf, "dtype", np.float32), jax.dtypes.prng_key)
+            else leaf
+        )
+        arrays[f"leaf{i}"] = a
+    key_ixs = [
+        i
+        for i, leaf in enumerate(leaves)
+        if jnp.issubdtype(getattr(leaf, "dtype", np.float32), jax.dtypes.prng_key)
+    ]
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(
+            {
+                "chain_ix": chain_ix,
+                "key_ixs": key_ixs,
+                "num_leaves": len(leaves),
+                "stats": {
+                    "mse_train": stats.mse_train,
+                    "mse_test": stats.mse_test,
+                    "lpd": stats.lpd,
+                },
+            }
+        ).encode(),
+        dtype=np.uint8,
+    )
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path, carry_like: TrainCarry):
+    """Restore (carry, chain_ix, stats_dict) from a checkpoint file."""
+    z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    meta = json.loads(bytes(z["meta_json"]).decode())
+    _, treedef = jax.tree.flatten(carry_like)
+    leaves = []
+    for i in range(meta["num_leaves"]):
+        a = jnp.asarray(z[f"leaf{i}"])
+        if i in meta["key_ixs"]:
+            a = jax.random.wrap_key_data(a)
+        leaves.append(a)
+    return jax.tree.unflatten(treedef, leaves), meta["chain_ix"], meta["stats"]
+
+
 def train(
     net: Net,
     train_data: StackedData,
@@ -239,10 +289,14 @@ def train(
     report_interval: int = 1,
     verbose: bool = True,
     fixed_param_precision: Optional[float] = None,
+    checkpoint_interval: int = 0,
+    resume_from: Optional[str] = None,
 ):
     """Run the MCMC chain(s). Returns (net, TrainingStats).
 
     ``net.state`` is left at the final iteration of chain 0.
+    ``checkpoint_interval`` > 0 writes <outpath>/checkpoint.npz every that
+    many iterations; ``resume_from`` restores one and continues exactly.
     """
     os.makedirs(cfg.outpath, exist_ok=True)
     save_models = cfg.chain_length > cfg.burn_in
@@ -275,8 +329,16 @@ def train(
         )(keys)
 
     stats = TrainingStats()
-    trace_f = open(cfg.trace_path(), "w") if cfg.trace else None
-    traj_f = open(cfg.trajectories_path(), "w") if cfg.trajectories else None
+    start_ix = 0
+    if resume_from is not None:
+        carry, start_ix, st = load_checkpoint(resume_from, carry)
+        stats.mse_train = st["mse_train"]
+        stats.mse_test = st["mse_test"]
+        stats.lpd = st["lpd"]
+        log.info("resumed from %s at iteration %d", resume_from, start_ix)
+    mode = "a" if resume_from is not None else "w"
+    trace_f = open(cfg.trace_path(), mode) if cfg.trace else None
+    traj_f = open(cfg.trajectories_path(), mode) if cfg.trajectories else None
 
     def record(carry, sweep_stats=None):
         if sweep_stats is None:
@@ -334,10 +396,11 @@ def train(
         st = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
         trace_f.write(json.dumps(_trace_line(net, st)) + "\n")
 
-    record(carry)
-    emit_trace(carry)
-    if cfg.burn_in == 0 and save_models:
-        save_sample(carry, 0)
+    if start_ix == 0:
+        record(carry)
+        emit_trace(carry)
+        if cfg.burn_in == 0 and save_models:
+            save_sample(carry, 0)
 
     # ---- batched sweeps: K iterations per compiled call, with per-sweep
     # states and on-device test mse collected through scan — avoids the
@@ -422,7 +485,7 @@ def train(
             log.info(msg)
 
     t0 = time.time()
-    chain_ix = 0
+    chain_ix = start_ix
     while chain_ix < cfg.chain_length:
         K = min(K_auto, cfg.chain_length - chain_ix)
         carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(carry)
@@ -436,6 +499,12 @@ def train(
                 jax.tree.map(lambda a: a[k], st_all),
                 mse_t_all[k],
                 jax.tree.map(lambda a: a[k], states_all),
+            )
+        if checkpoint_interval > 0 and (
+            chain_ix % checkpoint_interval < K or chain_ix >= cfg.chain_length
+        ):
+            save_checkpoint(
+                os.path.join(cfg.outpath, "checkpoint.npz"), carry, chain_ix, stats
             )
 
     elapsed = time.time() - t0

@@ -192,3 +192,38 @@ def test_sweep_batching_is_exact(tmp_path):
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
+
+
+def test_checkpoint_resume_is_exact(tmp_path):
+    """Interrupt at iteration k, resume from checkpoint: identical final
+    state and stats as an uninterrupted run (incl. the RNG stream)."""
+    arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.6, n=200)
+
+    def fresh():
+        state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+        return Net("ridge_base", arch, D.Hyperparameters(), state)
+
+    cfg_full = MCMCCfg(
+        chain_length=8, burn_in=4, hmc_integration_length=20,
+        outpath=str(tmp_path / "full"), seed=9, sweeps_per_call=2,
+    )
+    net_full, stats_full = train(fresh(), dtr, cfg_full, verbose=False)
+
+    cfg_a = MCMCCfg(
+        chain_length=4, burn_in=4, hmc_integration_length=20,
+        outpath=str(tmp_path / "resume"), seed=9, sweeps_per_call=2,
+    )
+    train(fresh(), dtr, cfg_a, verbose=False, checkpoint_interval=2)
+    cfg_b = MCMCCfg(
+        chain_length=8, burn_in=4, hmc_integration_length=20,
+        outpath=str(tmp_path / "resume"), seed=9, sweeps_per_call=2,
+    )
+    net_res, stats_res = train(
+        fresh(), dtr, cfg_b, verbose=False,
+        resume_from=str(tmp_path / "resume" / "checkpoint.npz"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(net_full.predict(dte.X)), np.asarray(net_res.predict(dte.X))
+    )
+    np.testing.assert_allclose(stats_full.mse_train, stats_res.mse_train, rtol=1e-6)
