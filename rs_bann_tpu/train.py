@@ -420,14 +420,17 @@ def train(
     if has_test:
         Xt, yt = test_data.X, test_data.y
 
-    def one_sweep(c):
+    # NOTE: data must flow in as jit ARGUMENTS — closing over device arrays
+    # bakes them into the executable as constants (and past the remote
+    # compiler's request size limit for genome-scale X).
+    def one_sweep(c, X_, y_, Xt_, yt_):
         if C == 1:
-            c2, st = sweep(c, X, y)
-            mse_t = net.mse(Xt, yt, c2.state) if has_test else jnp.asarray(0.0)
+            c2, st = sweep(c, X_, y_)
+            mse_t = net.mse(Xt_, yt_, c2.state) if has_test else jnp.asarray(0.0)
         else:
-            c2, st = jax.lax.map(lambda ci: sweep(ci, X, y), c)
+            c2, st = jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
             mse_t = (
-                jnp.mean(jax.lax.map(lambda s: net.mse(Xt, yt, s), c2.state))
+                jnp.mean(jax.lax.map(lambda s: net.mse(Xt_, yt_, s), c2.state))
                 if has_test
                 else jnp.asarray(0.0)
             )
@@ -435,11 +438,18 @@ def train(
 
     @functools.lru_cache(maxsize=None)
     def multi_sweep(K):
-        def body(c, _):
-            c2, st, mse_t = one_sweep(c)
-            return c2, (st, mse_t, c2.state)
+        def run(c, X_, y_, Xt_, yt_):
+            def body(cc, _):
+                c2, st, mse_t = one_sweep(cc, X_, y_, Xt_, yt_)
+                return c2, (st, mse_t, c2.state)
 
-        return jax.jit(lambda c: jax.lax.scan(body, c, None, length=K))
+            return jax.lax.scan(body, c, None, length=K)
+
+        if has_test:
+            return jax.jit(run)
+        return jax.jit(
+            lambda c, X_, y_: run(c, X_, y_, None, None)
+        )
 
     def process_iteration(chain_ix, st_k, mse_t_k, state_k):
         mse_train = float(np.mean(np.asarray(st_k.mse_train)))
@@ -488,7 +498,12 @@ def train(
     chain_ix = start_ix
     while chain_ix < cfg.chain_length:
         K = min(K_auto, cfg.chain_length - chain_ix)
-        carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(carry)
+        if has_test:
+            carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(
+                carry, X, y, Xt, yt
+            )
+        else:
+            carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(carry, X, y)
         st_all, mse_t_all, states_all = jax.device_get(
             (st_all, mse_t_all, states_all)
         )

@@ -119,3 +119,54 @@ def test_split_rhat():
     assert split_rhat(shifted) > 1.5
     d = multichain_diagnostics(same)
     assert d["ess_total"] > 800
+
+
+@pytest.mark.slow
+def test_ard_identifies_effective_markers(tmp_path):
+    """With an ARD prior, markers carrying signal should end with larger
+    posterior input-weight magnitude than null markers."""
+    from rs_bann_tpu.train import train
+
+    m = 12
+    arch = NetArch(m=(m,), h=(4,), s=(4,), depth=0)
+    rng = np.random.default_rng(2)
+    X = rng.binomial(2, 0.4, size=(400, m)).astype(np.float32)
+    d = stack_standardized(arch, [X], np.zeros(400))
+    # linear truth: only markers 2 and 7 matter
+    beta = np.zeros(m); beta[2], beta[7] = 1.0, -1.0
+    Xs = np.asarray(d.X[0])[:, :m]
+    g = Xs @ beta
+    y = g + rng.normal(0, np.sqrt(g.var() * 0.4), 400)
+    d = d._replace(y=jnp.asarray(y.astype(np.float32)))
+
+    state, _ = init_net(arch, "ridge_ard", InitCfg(seed=1))
+    net = Net("ridge_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=80, burn_in=40, hmc_integration_length=40,
+        hmc_step_size_mode="dual_averaging", outpath=str(tmp_path), seed=4,
+    )
+    net, _ = train(net, d, cfg, verbose=False)
+    w0 = np.abs(np.asarray(net.state.params.weights[0][0]))[:m]  # [m, h_pad]
+    strength = w0.sum(axis=1)
+    top2 = set(np.argsort(strength)[-2:])
+    assert top2 == {2, 7}, f"top markers {top2}, strengths {strength.round(2)}"
+
+
+def test_depth_two_network_trains(tmp_path):
+    from rs_bann_tpu.train import train
+
+    arch = NetArch(m=(8, 8), h=(4, 4), s=(3, 3), depth=2)
+    assert arch.num_layers == 4
+    data = _sim(arch, seed=6, n=250, h2=0.8)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=15, burn_in=10, hmc_integration_length=30,
+        hmc_step_size_mode="dual_averaging", outpath=str(tmp_path), seed=2,
+    )
+    net, stats = train(net, data, cfg, verbose=False)
+    assert np.isfinite(stats.lpd[-1])
+    assert stats.mse_train[-1] < stats.mse_train[0]
+    # activations expose all four layers
+    acts = net.activations(data.X)
+    assert len(acts[0]) == 4
