@@ -603,6 +603,12 @@ class Net:
 
     def effect_sizes(self, X, state: Optional[NetState] = None):
         """[G, n, m_pad] input gradients (branch_sampler.rs:787-811)."""
+        if isinstance(X, D.PackedX):
+            raise ValueError(
+                "effect sizes need dense genotypes (input gradients are "
+                "undefined through the packed decode); rebuild the data "
+                "with to_stacked()"
+            )
         state = state if state is not None else self.state
         act = self.arch.activation
         return jax.vmap(lambda w, b, x: D.effect_sizes(act, w, b, x))(
