@@ -415,6 +415,9 @@ def train(
         K_auto = cfg.sweeps_per_call
     else:
         K_auto = max(1, min(16, int(2e9 / max(state_bytes, 1))))
+        # large sweep programs: cap the unroll so compile time stays sane
+        if state_bytes > 100_000:
+            K_auto = min(K_auto, 4)
 
     has_test = test_data is not None
     if has_test:
