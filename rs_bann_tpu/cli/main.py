@@ -87,8 +87,11 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     # TPU extensions
     p.add_argument("--num-chains", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--update-mode", choices=["sequential", "parallel"],
+    p.add_argument("--update-mode",
+                   choices=["sequential", "parallel", "hybrid"],
                    default="sequential")
+    p.add_argument("--block-size", type=int, default=0,
+                   help="hybrid mode: branches per parallel block")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--bf16", action="store_true",
@@ -163,6 +166,7 @@ def _mcmc_cfg_from_args(args, outpath: str):
         num_chains=args.num_chains,
         seed=args.seed,
         update_mode=args.update_mode,
+        block_size=args.block_size,
     )
 
 

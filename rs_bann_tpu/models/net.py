@@ -515,10 +515,175 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
         return carry, finish(carry, trajs)
 
-    if joint and cfg.update_mode == "parallel":
-        raise NotImplementedError("joint_hmc currently requires sequential mode")
+    # ------------------------------------------------------------- hybrid
+    def sweep_hybrid(carry: TrainCarry, X, y):
+        """Sequential scan over random blocks; parallel updates within a
+        block. Shared scalars (error precision, output precision, summary
+        stats) refresh per block, like the sequential schedule refreshes
+        them per branch — bounding the stale-residual coupling that degrades
+        the fully-parallel kernel at large G to block_size branches."""
+        B = cfg.block_size
+        assert G % B == 0, f"block_size {B} must divide num_branches {G}"
+        R = G // B
+        key, k_perm = jax.random.split(carry.key)
+        carry = carry._replace(key=key)
+        perm = jax.random.permutation(k_perm, G).reshape(R, B)
 
-    return sweep_sequential if cfg.update_mode == "sequential" else sweep_parallel
+        def block_update(c: TrainCarry, ixs):
+            state, residual = c.state, c.residual
+            params, precisions = state.params, state.precisions
+            key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(c.key, 6)
+
+            err_prec = precisions.error
+            wp, bp = precisions.weights, precisions.biases
+            if gibbs_precisions:
+                err_prec = gibbs.error_precision_posterior(k_e, hyper, residual)
+            gather = lambda tree: jax.tree.map(lambda a: a[ixs], tree)
+            w_b = tuple(w[ixs] for w in params.weights)
+            b_b = tuple(b[ixs] for b in params.biases)
+            st_b = gather(statics)
+            if sample_local:
+                loc_keys = jax.random.split(k_loc, B)
+
+                def draw_local(k, w_g, b_g, st_g):
+                    return _gibbs_local_precisions(
+                        k, model_type, w_g, b_g, st_g, hyper, L
+                    )
+
+                new_wp, new_bp = jax.vmap(draw_local)(loc_keys, w_b, b_b, st_b)
+                wp = tuple(
+                    wp[l].at[ixs].set(new_wp[l]) if l < L - 1 else wp[l]
+                    for l in range(L)
+                )
+                bp = tuple(bp[l].at[ixs].set(new_bp[l]) for l in range(L - 1))
+                lam_out = _gibbs_output_precision(
+                    k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+                )
+                wp = tuple(
+                    jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
+                    for l in range(L)
+                )
+
+            wp_b = tuple(a[ixs] for a in wp)
+            bp_b = tuple(a[ixs] for a in bp)
+            x_b = X[ixs]
+            preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
+                w_b, b_b, x_b
+            )  # [B, n]
+            targets = residual[None, :] + preds
+
+            if adaptive:
+                warm = c.da_t < cfg.burn_in
+                step_factors = jnp.exp(
+                    jnp.where(warm, c.da_log_eps[ixs], c.da_log_eps_bar[ixs])
+                )
+            else:
+                step_factors = jnp.ones(B)
+
+            hmc_keys = jax.random.split(k_hmc, B)
+
+            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
+                return transition(
+                    k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                    npar, fac if adaptive else None,
+                )
+
+            out = jax.vmap(one)(
+                hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
+                tuple(m[ixs] for m in masks_w),
+                tuple(m[ixs] for m in masks_b),
+                statics.n_params[ixs],
+                step_factors,
+            )
+            res = out[0] if record_traj else out
+            params = StackedParams(
+                tuple(params.weights[l].at[ixs].set(res.weights[l]) for l in range(L)),
+                tuple(params.biases[l].at[ixs].set(res.biases[l]) for l in range(L - 1)),
+            )
+            precisions = StackedPrecisions(wp, bp, err_prec)
+            residual = residual + jnp.sum(preds - res.y_pred, axis=0)
+
+            lpd_block = jax.vmap(
+                lambda w_g, b_g, wp_g, bp_g, st_g: D.joint_local_term(
+                    model_type, w_g, b_g, wp_g, bp_g, hyper, st_g
+                )
+            )(
+                tuple(w[ixs] for w in params.weights),
+                tuple(b[ixs] for b in params.biases),
+                tuple(a[ixs] for a in wp),
+                tuple(a[ixs] for a in bp),
+                st_b,
+            )
+            lpd_local = c.lpd_local.at[ixs].set(lpd_block)
+            reg_all = _reg_all(model_type, params)
+            w0 = tuple(w[0] for w in params.weights)
+            wp0 = tuple(a[0] for a in wp)
+            lpd_out = D.joint_output_term(
+                model_type, w0, wp0, hyper,
+                reg_all - D.summary_stat(model_type, w0[-1]), n_out_tot,
+            )
+            lpd_rss = D.joint_rss_term(
+                err_prec, jnp.sum(residual**2), hyper,
+                jnp.asarray(residual.shape[0], jnp.float32),
+            )
+
+            residual, bias, bias_prec = _update_output_bias(
+                cfg, hyper, k_bias, residual, state.output_bias,
+                state.output_bias_precision, err_prec,
+            )
+
+            counts = c.counts
+            for code in range(3):
+                counts = counts.at[code].add(jnp.sum(res.code == code))
+
+            da_log_eps, da_log_eps_bar, da_h_bar = (
+                c.da_log_eps, c.da_log_eps_bar, c.da_h_bar
+            )
+            if adaptive:
+                warm = c.da_t < cfg.burn_in
+                t = c.da_t + 1.0
+                h_new, le_new, leb_new = _da_update(
+                    cfg, t, c.da_h_bar[ixs], c.da_log_eps_bar[ixs],
+                    res.accept_prob, da_mu,
+                )
+                da_h_bar = da_h_bar.at[ixs].set(
+                    jnp.where(warm, h_new, da_h_bar[ixs])
+                )
+                da_log_eps = da_log_eps.at[ixs].set(
+                    jnp.where(warm, le_new, da_log_eps[ixs])
+                )
+                da_log_eps_bar = da_log_eps_bar.at[ixs].set(
+                    jnp.where(warm, leb_new, da_log_eps_bar[ixs])
+                )
+
+            return TrainCarry(
+                state=NetState(params, precisions, bias, bias_prec),
+                residual=residual,
+                lpd_local=lpd_local,
+                lpd_out=lpd_out,
+                lpd_rss=lpd_rss,
+                counts=counts,
+                key=key,
+                da_log_eps=da_log_eps,
+                da_log_eps_bar=da_log_eps_bar,
+                da_h_bar=da_h_bar,
+                da_t=c.da_t,
+            ), None
+
+        carry, _ = jax.lax.scan(block_update, carry, perm)
+        carry = carry._replace(da_t=carry.da_t + 1.0)
+        return carry, finish(carry)
+
+    if joint and cfg.update_mode in ("parallel", "hybrid"):
+        raise NotImplementedError("joint_hmc currently requires sequential mode")
+    if record_traj and cfg.update_mode == "hybrid":
+        raise NotImplementedError("trajectory recording requires sequential or parallel mode")
+
+    return {
+        "sequential": sweep_sequential,
+        "parallel": sweep_parallel,
+        "hybrid": sweep_hybrid,
+    }[cfg.update_mode]
 
 
 # --------------------------------------------------------------------------

@@ -36,14 +36,20 @@ class MCMCCfg:
     target_accept: float = 0.8  # dual-averaging adaptation target (TPU ext.)
     sweeps_per_call: int = 0  # 0 = auto: batch K sweeps per compiled call
     update_mode: str = "sequential"  # "sequential" (reference-exact random-scan
-    # Gibbs) or "parallel" (block systematic-scan: all branches HMC against a
-    # frozen residual snapshot; shared scalars updated once per sweep)
+    # Gibbs), "parallel" (block systematic-scan: all branches HMC against a
+    # frozen residual snapshot; shared scalars updated once per sweep), or
+    # "hybrid" (sequential over random blocks of block_size branches,
+    # parallel within a block: interpolates statistical quality vs throughput
+    # and matches the sharding granularity)
+    block_size: int = 0  # hybrid mode: branches per parallel block
 
     def __post_init__(self):
         if self.burn_in < 0:
             object.__setattr__(self, "burn_in", max(self.chain_length - 1, 0))
         assert self.hmc_step_size_mode in STEP_SIZE_MODES, self.hmc_step_size_mode
-        assert self.update_mode in ("sequential", "parallel")
+        assert self.update_mode in ("sequential", "parallel", "hybrid")
+        if self.update_mode == "hybrid":
+            assert self.block_size > 0, "hybrid mode requires block_size > 0"
         if self.fixed_param_precisions:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "Fixed precisions and joint hmc / gd are mutually exclusive"

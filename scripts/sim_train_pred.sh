@@ -13,11 +13,15 @@ shift || true
 PY="${PYTHON:-python}"
 RB="$PY -m rs_bann_tpu"
 
+# route --cpu to every subcommand (simulate/predict too), not just train-new
+DEVFLAGS=""
+case " $* " in *" --cpu "*) DEVFLAGS="--cpu" ;; esac
+
 mkdir -p "$OUT"
 
 for H in 0.25 0.5 0.8 0.95; do
   simdir=$($RB simulate-xy lasso-base tanh 20 1 1000 10 0 "$H" \
-    --init-gamma-shape 3 --init-gamma-scale 1 --seed 1 -o "$OUT")
+    --init-gamma-shape 3 --init-gamma-scale 1 --seed 1 $DEVFLAGS -o "$OUT")
   echo "simulated: $simdir"
   for CL in 10 100; do
     rundir=$($RB train-new \
@@ -26,9 +30,9 @@ for H in 0.25 0.5 0.8 0.95; do
       lasso-base tanh 0 "$CL" 300 --trace --seed 1 \
       --outpath "$simdir" "$@" | tail -1)
     echo "trained:   $rundir"
-    $RB predict "$simdir/train" "$simdir/train.groups" \
+    $RB predict "$simdir/train" "$simdir/train.groups" $DEVFLAGS \
       -m "$rundir/models" > "$rundir/train_preds.csv"
-    $RB predict "$simdir/test" "$simdir/train.groups" \
+    $RB predict "$simdir/test" "$simdir/train.groups" $DEVFLAGS \
       -m "$rundir/models" > "$rundir/test_preds.csv"
   done
 done

@@ -227,3 +227,19 @@ def test_checkpoint_resume_is_exact(tmp_path):
         np.asarray(net_full.predict(dte.X)), np.asarray(net_res.predict(dte.X))
     )
     np.testing.assert_allclose(stats_full.mse_train, stats_res.mse_train, rtol=1e-6)
+
+
+def test_hybrid_update_mode(tmp_path):
+    arch = NetArch(m=(6,) * 8, h=(3,) * 8, s=(3,) * 8, depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.7, n=250)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=20, burn_in=10, hmc_integration_length=30,
+        hmc_step_size_mode="dual_averaging", outpath=str(tmp_path),
+        seed=3, update_mode="hybrid", block_size=4,
+    )
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+    assert np.isfinite(stats.lpd[-1])
+    assert stats.mse_train[-1] < stats.mse_train[0]
+    assert stats.num_samples == 20 * 8  # every branch updated every sweep
