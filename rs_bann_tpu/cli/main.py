@@ -92,6 +92,8 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    default="sequential")
     p.add_argument("--block-size", type=int, default=0,
                    help="hybrid mode: branches per parallel block")
+    p.add_argument("--gd-warmup", type=int, default=0,
+                   help="gradient-descent sweeps before sampling (MAP start)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--bf16", action="store_true",
@@ -167,6 +169,7 @@ def _mcmc_cfg_from_args(args, outpath: str):
         seed=args.seed,
         update_mode=args.update_mode,
         block_size=args.block_size,
+        gd_warmup=args.gd_warmup,
     )
 
 

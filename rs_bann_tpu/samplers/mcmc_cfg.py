@@ -42,6 +42,7 @@ class MCMCCfg:
     # parallel within a block: interpolates statistical quality vs throughput
     # and matches the sharding granularity)
     block_size: int = 0  # hybrid mode: branches per parallel block
+    gd_warmup: int = 0  # run N gradient-descent sweeps before sampling
 
     def __post_init__(self):
         if self.burn_in < 0:

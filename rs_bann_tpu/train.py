@@ -311,6 +311,17 @@ def train(
     C = cfg.num_chains
     X, y = train_data.X, train_data.y
 
+    gd_sweep = None
+    if cfg.gd_warmup > 0 and not (cfg.gradient_descent or cfg.gradient_descent_joint):
+        import dataclasses as _dc
+
+        gd_cfg = _dc.replace(
+            cfg, gradient_descent=True, joint_hmc=False, trajectories=False,
+            hmc_step_size_factor=min(cfg.hmc_step_size_factor, 1e-3),
+            hmc_integration_length=min(cfg.hmc_integration_length, 20),
+        )
+        gd_sweep = net.make_sweep(gd_cfg)
+
     if C == 1:
         sweep_jit = jax.jit(sweep)
         key = jax.random.key(cfg.seed)
@@ -395,6 +406,23 @@ def train(
             return
         st = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
         trace_f.write(json.dumps(_trace_line(net, st)) + "\n")
+
+    if gd_sweep is not None and start_ix == 0:
+        # MAP warm start: a few line-search GD sweeps before sampling
+        # (the reference exposes GD only as a full alternative mode;
+        # using it as initialization is a TPU-side extension)
+        if C == 1:
+            gd_jit = jax.jit(gd_sweep)
+        else:
+            gd_jit = jax.jit(
+                lambda c, X_, y_: jax.lax.map(lambda ci: gd_sweep(ci, X_, y_), c)
+            )
+        for _ in range(cfg.gd_warmup):
+            carry, _gd_stats = gd_jit(carry, X, y)
+        carry = carry._replace(
+            counts=jnp.zeros_like(carry.counts)
+        )
+        log.info("gd warm start: %d sweeps", cfg.gd_warmup)
 
     if start_ix == 0:
         record(carry)

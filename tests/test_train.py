@@ -243,3 +243,18 @@ def test_hybrid_update_mode(tmp_path):
     assert np.isfinite(stats.lpd[-1])
     assert stats.mse_train[-1] < stats.mse_train[0]
     assert stats.num_samples == 20 * 8  # every branch updated every sweep
+
+
+def test_gd_warmup(tmp_path):
+    arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
+    dtr, dte = simulate(arch, "ridge_base", h2=0.7, n=200)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=5, burn_in=3, hmc_integration_length=20,
+        outpath=str(tmp_path), seed=9, gd_warmup=5,
+    )
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+    # the warm start should land sampling at an already-low training mse
+    assert stats.mse_train[0] < np.var(np.asarray(dtr.y))
+    assert stats.num_samples == 5  # warmup sweeps are not counted as samples
