@@ -548,6 +548,56 @@ def cmd_fill_missing_a2(args):
     print(fill_missing_a2(args.bfile, args.out_stem))
 
 
+def cmd_analyze(args):
+    from .. import vis
+
+    st = vis.load_training_stats(args.rundir)
+    n_iter = len(st["mse_train"]) - 1
+    out = {
+        "iterations": n_iter,
+        "acceptance_rate": round(st["num_accepted"] / max(st["num_samples"], 1), 3),
+        "early_rejection_rate": round(
+            st["num_early_rejected"] / max(st["num_samples"], 1), 3
+        ),
+        "mse_train_final": round(st["mse_train"][-1], 4),
+        "lpd_final": round(st["lpd"][-1], 2),
+    }
+    if st.get("mse_test"):
+        out["mse_test_final"] = round(st["mse_test"][-1], 4)
+    import os as _os
+
+    if _os.path.exists(_os.path.join(args.rundir, "trace")):
+        trace = vis.load_trace(args.rundir)
+        burn = args.burn_in if args.burn_in is not None else len(trace) // 2
+        mats = [
+            vis.trace_param_matrix(trace, g) for g in range(len(trace[0]))
+        ]
+        ess_vals = [float(np.median(vis.ess_per_param(m_[burn:]))) for m_ in mats]
+        out["median_param_ess_per_branch"] = [round(e, 1) for e in ess_vals]
+        if args.sim:
+            tp = vis.load_true_params(args.sim)
+            out["posterior_mean_vs_truth"] = {
+                str(k): {kk: round(vv, 4) for kk, vv in v.items()}
+                for k, v in vis.posterior_mean_vs_truth(trace, tp, burn).items()
+            }
+    if args.plots:
+        _os.makedirs(args.plots, exist_ok=True)
+        try:
+            vis.plot_training_stats(
+                args.rundir, save_to=_os.path.join(args.plots, "training_stats.png")
+            )
+            if _os.path.exists(_os.path.join(args.rundir, "trace")) and args.sim:
+                vis.plot_posterior_means(
+                    vis.load_trace(args.rundir), vis.load_true_params(args.sim),
+                    burn_in=args.burn_in or 0,
+                    save_to=_os.path.join(args.plots, "posterior_means.png"),
+                )
+            out["plots"] = args.plots
+        except ImportError:
+            out["plots"] = "matplotlib unavailable"
+    print(json.dumps(out, indent=2))
+
+
 def cmd_available_backends(args):
     import jax
 
@@ -683,6 +733,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bpgm(g)
     g.set_defaults(func=cmd_population_effect_sizes)
+
+    g = sub.add_parser(
+        "analyze", help="Summarize a training run (stats, ESS, truth recovery)."
+    )
+    g.add_argument("rundir")
+    g.add_argument("--sim", default=None, help="sim outdir with model.params")
+    g.add_argument("--burn-in", type=int, default=None)
+    g.add_argument("--plots", default=None, help="write PNG plots here")
+    g.set_defaults(func=cmd_analyze)
 
     g = sub.add_parser(
         "split-train-test",
