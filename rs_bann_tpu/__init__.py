@@ -21,3 +21,26 @@ Design (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: from rs_bann_tpu import Net, NetArch, ..."""
+    lazy = {
+        "Net": ("rs_bann_tpu.models.net", "Net"),
+        "NetArch": ("rs_bann_tpu.models.arch", "NetArch"),
+        "MCMCCfg": ("rs_bann_tpu.samplers.mcmc_cfg", "MCMCCfg"),
+        "Hyperparameters": ("rs_bann_tpu.models.density", "Hyperparameters"),
+        "InitCfg": ("rs_bann_tpu.models.init", "InitCfg"),
+        "init_net": ("rs_bann_tpu.models.init", "init_net"),
+        "train": ("rs_bann_tpu.train", "train"),
+        "simulate_xy": ("rs_bann_tpu.sim", "simulate_xy"),
+        "simulate_y": ("rs_bann_tpu.sim", "simulate_y"),
+        "BedVM": ("rs_bann_tpu.io.bed", "BedVM"),
+        "Phenotypes": ("rs_bann_tpu.io.phen", "Phenotypes"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'rs_bann_tpu' has no attribute {name!r}")

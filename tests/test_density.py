@@ -179,3 +179,37 @@ def test_numeric_vs_autodiff_gradient(model_type):
     for i in range(vec.size):
         num[i] = (float(f_flat(vec.at[i].add(delta))) - f0) / delta
     np.testing.assert_allclose(np.asarray(analytic), num, atol=2e-2)
+
+
+@pytest.mark.parametrize(
+    "name,x,expected",
+    [
+        ("relu", [-1.0, 0.0, 2.0], [0.0, 0.0, 2.0]),
+        ("leaky_relu", [-1.0, 0.0, 2.0], [-0.01, 0.0, 2.0]),
+        ("identity", [-1.0, 0.0, 2.0], [-1.0, 0.0, 2.0]),
+    ],
+)
+def test_activation_values(name, x, expected):
+    """activation_functions.rs:22-45 semantics, incl. LeakyReLU slope 0.01."""
+    from rs_bann_tpu.ops.activations import activation
+
+    np.testing.assert_allclose(
+        np.asarray(activation(name)(jnp.asarray(x))), expected, atol=1e-7
+    )
+
+
+def test_activation_cli_name_mapping():
+    from rs_bann_tpu.ops.activations import canonical
+
+    assert canonical("re-lu") == "relu"
+    assert canonical("leaky-re-lu") == "leaky_relu"
+    assert canonical("SiLU") == "silu"
+    with pytest.raises(ValueError):
+        canonical("swishy")
+
+
+def test_top_level_api():
+    import rs_bann_tpu
+
+    assert rs_bann_tpu.NetArch is not None
+    assert rs_bann_tpu.MCMCCfg(chain_length=3).burn_in == 2
