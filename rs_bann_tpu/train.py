@@ -23,7 +23,7 @@ import json
 import logging
 import os
 import time
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -105,13 +105,6 @@ def _write_hyperparams(net: Net, cfg: MCMCCfg):
     }
     with open(cfg.hyperparam_path(), "w") as f:
         json.dump(hp, f)
-
-
-class _StateView:
-    """Minimal carry-like wrapper exposing .state for trace emission."""
-
-    def __init__(self, state):
-        self.state = state
 
 
 def _trace_line(net: Net, state) -> dict:
