@@ -32,7 +32,8 @@ def __getattr__(name):
         "Hyperparameters": ("rs_bann_tpu.models.density", "Hyperparameters"),
         "InitCfg": ("rs_bann_tpu.models.init", "InitCfg"),
         "init_net": ("rs_bann_tpu.models.init", "init_net"),
-        "train": ("rs_bann_tpu.train", "train"),
+        # NOTE: "train" is the submodule; the function is
+        # rs_bann_tpu.train.train (a lazy attr here would be shadowed)
         "simulate_xy": ("rs_bann_tpu.sim", "simulate_xy"),
         "simulate_y": ("rs_bann_tpu.sim", "simulate_y"),
         "BedVM": ("rs_bann_tpu.io.bed", "BedVM"),
