@@ -142,6 +142,17 @@ def _gibbs_output_precision(key, model_type, reg_all, n_out, hyper):
     )
 
 
+def default_block_size(G: int) -> int:
+    """Largest divisor of G not exceeding ~G/8 (min 1): ~8 sequential block
+    rounds per sweep, the regime measured to preserve statistical quality
+    while keeping within-block parallelism."""
+    target = max(G // 8, 1)
+    for b in range(target, 0, -1):
+        if G % b == 0:
+            return b
+    return 1
+
+
 def _reg_all(model_type, params: StackedParams):
     w_out = params.weights[-1]
     if D.is_lasso(model_type):
@@ -522,7 +533,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         stats) refresh per block, like the sequential schedule refreshes
         them per branch — bounding the stale-residual coupling that degrades
         the fully-parallel kernel at large G to block_size branches."""
-        B = cfg.block_size
+        B = cfg.block_size if cfg.block_size > 0 else default_block_size(G)
         assert G % B == 0, f"block_size {B} must divide num_branches {G}"
         R = G // B
         key, k_perm = jax.random.split(carry.key)

@@ -49,8 +49,6 @@ class MCMCCfg:
             object.__setattr__(self, "burn_in", max(self.chain_length - 1, 0))
         assert self.hmc_step_size_mode in STEP_SIZE_MODES, self.hmc_step_size_mode
         assert self.update_mode in ("sequential", "parallel", "hybrid")
-        if self.update_mode == "hybrid":
-            assert self.block_size > 0, "hybrid mode requires block_size > 0"
         if self.fixed_param_precisions:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "Fixed precisions and joint hmc / gd are mutually exclusive"
