@@ -32,6 +32,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(tree):
+    """True device barrier: jax.block_until_ready can return before
+    execution completes through the axon TPU tunnel, so force a host
+    readback of one leaf (measured: timings without this are fiction)."""
+    import jax
+
+    return float(np.asarray(jax.tree.leaves(tree)[0]).ravel()[0])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,13 +86,13 @@ def main():
     log(f"compiling sweep: G={G} m={m} n={n} h={h} depth={depth} C={C} L={L}")
     t0 = time.time()
     carry, stats = sweep(carry, X, y)
-    jax.block_until_ready(stats)
+    sync(stats)
     log(f"compile+first sweep: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(sweeps):
         carry, stats = sweep(carry, X, y)
-    jax.block_until_ready(stats)
+    sync(stats)
     dt = time.time() - t0
     steps = sweeps * C * G * L
     steps_per_s = steps / dt
@@ -103,7 +112,7 @@ def main():
     for _ in range(ess_sweeps):
         carry, stats = sweep(carry, X, y)
         mse_series.append(stats.mse_train)
-    jax.block_until_ready(stats)
+    sync(stats)
     ess_dt = time.time() - t0
     mse_series = np.asarray(mse_series)  # [sweeps, C]
     ess_total = sum(ess(mse_series[:, c]) for c in range(C))
@@ -127,13 +136,13 @@ def main():
     base_carry = net.init_carry(X, y, jax.random.key(2))
     t0 = time.time()
     base_carry, base_stats = base_sweep(base_carry, X, y)
-    jax.block_until_ready(base_stats)
+    sync(base_stats)
     log(f"baseline compile+first sweep: {time.time() - t0:.1f}s")
     base_sweeps = 3
     t0 = time.time()
     for _ in range(base_sweeps):
         base_carry, base_stats = base_sweep(base_carry, X, y)
-    jax.block_until_ready(base_stats)
+    sync(base_stats)
     base_dt = time.time() - t0
     base_steps_per_s = base_sweeps * G * L / base_dt
     log(

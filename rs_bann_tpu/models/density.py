@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import activations as _A
 from ..ops.activations import activation
 from .arch import NetArch
 from . import params as P
@@ -198,16 +199,29 @@ def forward(act_name: str, weights, biases, x):
     x: [n, m_pad] dense standardized, or a PackedX; returns
     (pre_activations, activations) like the reference's ``forward_feed``
     (branch_sampler.rs:743-758): activations has one entry per layer, the
-    last being the scalar output column [n, 1].
+    last being the scalar output column [n, 1]. On the packed path with a
+    fusable activation, layer 0 runs as one fused Pallas op (decode + matmul
+    + offset + activation) and pre_activations[0] is None — no caller
+    consumes pre_activations; it exists for reference-parity inspection.
     """
+    from ..ops.packed_matmul import FUSED_ACTIVATIONS, packed_linear
+
     h = activation(act_name)
     pre = []
     acts = []
     num_layers = len(weights)
-    z = _layer0(weights[0], biases[0], x)
-    pre.append(z)
-    a = h(z)
-    acts.append(a)
+    canon = _A.canonical(act_name)
+    if isinstance(x, PackedX) and canon in FUSED_ACTIVATIONS:
+        w0p = x.w_scale[:, None] * weights[0]
+        off = biases[0] - x.shift @ w0p
+        a = packed_linear(x.bytes, w0p, off, x.n, canon)
+        pre.append(None)
+        acts.append(a)
+    else:
+        z = _layer0(weights[0], biases[0], x)
+        pre.append(z)
+        a = h(z)
+        acts.append(a)
     for l in range(1, num_layers - 1):
         z = matmul(a, weights[l]) + biases[l][None, :]
         pre.append(z)

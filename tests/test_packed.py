@@ -14,10 +14,14 @@ from rs_bann_tpu.models.data import pack_stacked
 from rs_bann_tpu.models.init import InitCfg, init_net
 from rs_bann_tpu.models.net import Net
 from rs_bann_tpu.ops.packed_matmul import (
+    FUSED_ACTIVATIONS,
+    _act_apply,
     _packed_matmul_ref,
     _pallas_bwd,
     _pallas_fwd,
+    _pallas_fwd_fused,
     pack_strided,
+    packed_linear,
     unpack_bytes,
     unpack_strided,
 )
@@ -119,4 +123,67 @@ def test_pallas_kernels_interpret_mode():
         )
     )
     out_b = np.asarray(_pallas_bwd(by, g, n, interpret=True))
-    np.testing.assert_allclose(out_b, ref_b, rtol=1e-5)
+    # per-part dots change the f32 accumulation order slightly
+    np.testing.assert_allclose(out_b, ref_b, rtol=1e-4)
+
+
+@pytest.mark.parametrize("act", FUSED_ACTIVATIONS)
+def test_pallas_fused_kernel_interpret_mode(act):
+    """Fused decode+matmul+offset+activation kernel matches the jnp ref."""
+    rng = np.random.default_rng(3)
+    m, n, k = 16, 600, 8
+    vals = rng.integers(0, 3, size=(m, n)).astype(np.float32)
+    by = jnp.asarray(pack_strided(vals))
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    off = jnp.asarray(rng.standard_normal(k).astype(np.float32))
+    ref = np.asarray(_act_apply(act, _packed_matmul_ref(by, a, n) + off[None, :]))
+    out = np.asarray(_pallas_fwd_fused(by, a, off, n, act, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("act", FUSED_ACTIVATIONS)
+def test_pallas_bwd_fused_kernel_interpret_mode(act):
+    """Backward kernel with in-kernel h'(out) matches the jnp formula."""
+    from rs_bann_tpu.ops.packed_matmul import _act_prime_from_out, _pallas_bwd_fused
+
+    rng = np.random.default_rng(7)
+    m, n, k = 16, 600, 8
+    vals = rng.integers(0, 3, size=(m, n)).astype(np.float32)
+    by = jnp.asarray(pack_strided(vals))
+    B4 = by.shape[1] * 4
+    g = jnp.asarray(rng.standard_normal((B4, k)).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((B4, k)).astype(np.float32))
+    dz = g * _act_prime_from_out(act, res)
+    ref = np.asarray(
+        jax.lax.dot_general(unpack_strided(by, B4), dz, (((1,), (0,)), ((), ())))
+    )
+    out, d_off = _pallas_bwd_fused(by, g, res, n, act, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d_off)[0], np.asarray(jnp.sum(dz, axis=0)), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("act", FUSED_ACTIVATIONS)
+def test_packed_linear_gradient(act):
+    """Custom VJP of the fused op matches autodiff of the unfused math."""
+    rng = np.random.default_rng(5)
+    m, n, k = 12, 70, 4
+    vals = rng.integers(0, 3, size=(m, n)).astype(np.float32)
+    by = jnp.asarray(pack_strided(vals))
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    off = jnp.asarray(rng.standard_normal(k).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+
+    def fused(a_, off_):
+        return jnp.vdot(packed_linear(by, a_, off_, n, act), ct)
+
+    def unfused(a_, off_):
+        dec = unpack_strided(by, n)
+        z = jax.lax.dot_general(dec, a_, (((0,), (0,)), ((), ()))) + off_[None, :]
+        return jnp.vdot(_act_apply(act, z), ct)
+
+    ga, go = jax.grad(fused, argnums=(0, 1))(a, off)
+    ra, ro = jax.grad(unfused, argnums=(0, 1))(a, off)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(ro), rtol=1e-4, atol=1e-5)
