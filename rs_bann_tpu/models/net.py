@@ -212,7 +212,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         transition = make_gradient_descent_joint(model_type, act, cfg)
         joint = True
     elif cfg.joint_hmc:
-        transition = make_hmc_step_joint(model_type, act, cfg)
+        # Outside the sequential schedule the shared scalars (error
+        # precision, output-layer precision) cannot each be moved by
+        # concurrent branch HMC updates; they are frozen as HMC coordinates
+        # and drawn from their conjugate conditionals once per sweep/block.
+        seq = cfg.update_mode == "sequential"
+        transition = make_hmc_step_joint(
+            model_type, act, cfg, sample_error=seq, sample_output=seq
+        )
         joint = True
     else:
         transition = make_hmc_step(model_type, act, cfg)
@@ -223,7 +230,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     )  # rough per-branch precision count for joint step sizing
     adaptive = cfg.hmc_step_size_mode == "dual_averaging"
     record_traj = cfg.trajectories and not (
-        cfg.joint_hmc or cfg.gradient_descent or cfg.gradient_descent_joint
+        cfg.gradient_descent or cfg.gradient_descent_joint
     )
     import math as _math
 
@@ -275,14 +282,26 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             reg_sum_others = _reg_all(model_type, params) - D.summary_stat(
                 model_type, w_g[-1]
             )
-            res, wp_g_new, bp_g_new, err_new = transition(
+            out = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
                 mw_g, mb_g, st_g.n_params, jnp.asarray(n_precisions),
                 hyper, st_g, reg_sum_others, n_out_tot,
             )
+            if record_traj:
+                (res, wp_g_new, bp_g_new, err_new), traj = out
+            else:
+                res, wp_g_new, bp_g_new, err_new = out
             accepted = res.code == 0
+            # local (non-output) precisions are per-branch; the accepted
+            # output-layer precision is SHARED: it becomes the value every
+            # subsequent branch sees, as the reference propagates it via
+            # GlobalParams (net.rs:304, params.rs:41-56)
             wp = tuple(
                 wp[l].at[g].set(jnp.where(accepted, wp_g_new[l], wp_g[l]))
+                if l < L - 1
+                else jnp.full_like(
+                    wp[l], jnp.where(accepted, wp_g_new[l], wp_g[l]).reshape(())
+                )
                 for l in range(L)
             )
             bp = tuple(
@@ -401,8 +420,18 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         # shared scalar Gibbs draws once per sweep, from the snapshot
         err_prec = precisions.error
         wp, bp = precisions.weights, precisions.biases
-        if gibbs_precisions:
+        if gibbs_precisions or joint:
+            # in parallel-joint mode the shared scalars are frozen inside the
+            # per-branch HMC and drawn here from their conjugate conditionals
             err_prec = gibbs.error_precision_posterior(k_e, hyper, carry.residual)
+        if joint:
+            lam_out = _gibbs_output_precision(
+                k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+            )
+            wp = tuple(
+                jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
+                for l in range(L)
+            )
         if sample_local:
             loc_keys = jax.random.split(k_loc, G)
 
@@ -441,31 +470,58 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         else:
             step_factors = jnp.ones(G)
 
-        def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
-            return transition(
-                k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar,
-                fac if adaptive else None,
-            )
+        if joint:
+            reg_all = _reg_all(model_type, params)
+            reg_others = jax.vmap(
+                lambda w_last: reg_all - D.summary_stat(model_type, w_last)
+            )(params.weights[-1])
 
-        out = jax.vmap(one)(
-            hmc_keys,
-            params.weights,
-            params.biases,
-            wp,
-            bp,
-            X,
-            targets,
-            masks_w,
-            masks_b,
-            statics.n_params,
-            step_factors,
-        )
-        if record_traj:
-            res, trajs = out
-            trajs = dict(trajs)
-            trajs["perm"] = jnp.arange(G)
+            def one_joint(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, st_g, ro):
+                return transition(
+                    k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                    npar, jnp.asarray(n_precisions), hyper, st_g, ro, n_out_tot,
+                )
+
+            out = jax.vmap(one_joint)(
+                hmc_keys, params.weights, params.biases, wp, bp, X, targets,
+                masks_w, masks_b, statics.n_params, statics, reg_others,
+            )
+            if record_traj:
+                (res, wp_new, bp_new, _), trajs = out
+                trajs = dict(trajs)
+                trajs["perm"] = jnp.arange(G)
+            else:
+                (res, wp_new, bp_new, _), trajs = out, ()
+            # local precisions moved in-HMC (accept-selected inside the
+            # transition); the shared output row stays the Gibbs draw
+            wp = tuple(wp_new[l] if l < L - 1 else wp[l] for l in range(L))
+            bp = tuple(bp_new)
         else:
-            res, trajs = out, ()
+            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
+                return transition(
+                    k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar,
+                    fac if adaptive else None,
+                )
+
+            out = jax.vmap(one)(
+                hmc_keys,
+                params.weights,
+                params.biases,
+                wp,
+                bp,
+                X,
+                targets,
+                masks_w,
+                masks_b,
+                statics.n_params,
+                step_factors,
+            )
+            if record_traj:
+                res, trajs = out
+                trajs = dict(trajs)
+                trajs["perm"] = jnp.arange(G)
+            else:
+                res, trajs = out, ()
         params = StackedParams(res.weights, res.biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
         residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
@@ -547,8 +603,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
-            if gibbs_precisions:
+            if gibbs_precisions or joint:
                 err_prec = gibbs.error_precision_posterior(k_e, hyper, residual)
+            if joint:
+                lam_out = _gibbs_output_precision(
+                    k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+                )
+                wp = tuple(
+                    jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
+                    for l in range(L)
+                )
             gather = lambda tree: jax.tree.map(lambda a: a[ixs], tree)
             w_b = tuple(w[ixs] for w in params.weights)
             b_b = tuple(b[ixs] for b in params.biases)
@@ -593,20 +657,46 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
             hmc_keys = jax.random.split(k_hmc, B)
 
-            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
-                return transition(
-                    k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
-                    npar, fac if adaptive else None,
-                )
+            if joint:
+                reg_all = _reg_all(model_type, params)
+                reg_others = jax.vmap(
+                    lambda w_last: reg_all - D.summary_stat(model_type, w_last)
+                )(w_b[-1])
 
-            out = jax.vmap(one)(
-                hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
-                tuple(m[ixs] for m in masks_w),
-                tuple(m[ixs] for m in masks_b),
-                statics.n_params[ixs],
-                step_factors,
-            )
-            res = out[0] if record_traj else out
+                def one_joint(
+                    k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, st_g, ro
+                ):
+                    return transition(
+                        k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                        npar, jnp.asarray(n_precisions), hyper, st_g, ro, n_out_tot,
+                    )
+
+                res, wp_new, bp_new, _ = jax.vmap(one_joint)(
+                    hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
+                    tuple(m[ixs] for m in masks_w),
+                    tuple(m[ixs] for m in masks_b),
+                    statics.n_params[ixs], st_b, reg_others,
+                )
+                wp = tuple(
+                    wp[l].at[ixs].set(wp_new[l]) if l < L - 1 else wp[l]
+                    for l in range(L)
+                )
+                bp = tuple(bp[l].at[ixs].set(bp_new[l]) for l in range(L - 1))
+            else:
+                def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
+                    return transition(
+                        k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                        npar, fac if adaptive else None,
+                    )
+
+                out = jax.vmap(one)(
+                    hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
+                    tuple(m[ixs] for m in masks_w),
+                    tuple(m[ixs] for m in masks_b),
+                    statics.n_params[ixs],
+                    step_factors,
+                )
+                res = out[0] if record_traj else out
             params = StackedParams(
                 tuple(params.weights[l].at[ixs].set(res.weights[l]) for l in range(L)),
                 tuple(params.biases[l].at[ixs].set(res.biases[l]) for l in range(L - 1)),
@@ -685,8 +775,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         carry = carry._replace(da_t=carry.da_t + 1.0)
         return carry, finish(carry)
 
-    if joint and cfg.update_mode in ("parallel", "hybrid"):
-        raise NotImplementedError("joint_hmc currently requires sequential mode")
+    if cfg.gradient_descent_joint and cfg.update_mode != "sequential":
+        raise NotImplementedError("gradient_descent_joint requires sequential mode")
     if record_traj and cfg.update_mode == "hybrid":
         raise NotImplementedError("trajectory recording requires sequential or parallel mode")
 

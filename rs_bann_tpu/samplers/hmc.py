@@ -318,21 +318,37 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
     return hmc
 
 
-def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
+def make_hmc_step_joint(
+    model_type: str,
+    act_name: str,
+    cfg: MCMCCfg,
+    sample_error: bool = True,
+    sample_output: bool = True,
+):
     """Joint HMC over params AND precisions (branch_sampler.rs:1070-1178).
 
     The reference always falls back to random step sizes for joint sampling
     (branch_sampler.rs:1094-1099); we do the same.
+
+    ``sample_error`` / ``sample_output`` freeze the shared scalars (error
+    precision, output-layer precision) as HMC coordinates — used by the
+    parallel/hybrid schedules, where concurrent branch updates cannot each
+    move a shared coordinate; the sweep draws those from their conjugate
+    conditionals instead (a valid systematic-scan variant).
 
     Returned signature:
       hmc(key, weights, biases, w_prec, b_prec, err_prec, x, y, masks_w,
           masks_b, n_params, n_precisions, hyper, statics_g, reg_sum_others,
           n_out_global)
         -> (HMCResult, new_w_prec, new_b_prec, new_err_prec)
+        (-> ((...), traj dict) when cfg.trajectories is set; traj adds the
+         per-step flat precision vector next to params/ldg/hamiltonian,
+         matching the reference's joint Trajectory, trajectory.rs:4-43.)
     """
     L = cfg.hmc_integration_length
     max_err = cfg.hmc_max_hamiltonian_error
     factor = cfg.hmc_step_size_factor
+    record = cfg.trajectories
 
     def potential(wb, precs, x, y, hyper, statics_g, reg_sum_others, n_out_global):
         weights, biases = wb
@@ -391,14 +407,45 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
                 jnp.asarray(1.0),
             ),
         )
+        # 1.0 = free coordinate, 0.0 = frozen (zero step size AND momentum:
+        # the leapfrog then provably leaves the coordinate untouched)
+        free = (
+            (tuple(1.0 for _ in weights), tuple(1.0 for _ in biases)),
+            (
+                tuple(
+                    1.0 if (l < len(w_prec) - 1 or sample_output) else 0.0
+                    for l in range(len(w_prec))
+                ),
+                tuple(1.0 for _ in b_prec),
+                1.0 if sample_error else 0.0,
+            ),
+        )
         leaves, treedef = jax.tree.flatten(q0)
         mask_leaves = jax.tree.leaves(masks)
+        free_leaves = jax.tree.leaves(free)
         ekeys = jax.random.split(k_eps, len(leaves))
         mkeys = jax.random.split(k_mom, len(leaves))
-        eps = [jax.random.uniform(k, l.shape) * prop for k, l in zip(ekeys, leaves)]
+        eps = [
+            jax.random.uniform(k, l.shape) * prop * s
+            for k, l, s in zip(ekeys, leaves, free_leaves)
+        ]
+        if not sample_output:
+            # The Gibbs-refreshed shared output precision can be large, and
+            # the random-mode ε (which the reference mandates for joint
+            # sampling) does not shrink with it — the output-weight direction
+            # then blows up the Hamiltonian. λ_out is FROZEN during the
+            # trajectory here, so conditioning ε on it is exact (same
+            # justification as the marginal izmailov rule, ridge_base.rs:82).
+            lam_out = w_prec[-1].reshape(())
+            if D.is_lasso(model_type):
+                e_out = factor / (4.0 * lam_out * L)
+            else:
+                e_out = factor * math.pi / (2.0 * jnp.sqrt(lam_out) * L)
+            out_ix = len(weights) - 1  # flatten order: weights leaves first
+            eps[out_ix] = jnp.full_like(leaves[out_ix], jnp.minimum(e_out, prop))
         mom = [
-            jax.random.normal(k, l.shape) * m
-            for k, l, m in zip(mkeys, leaves, mask_leaves)
+            jax.random.normal(k, l.shape) * m * s
+            for k, l, m, s in zip(mkeys, leaves, mask_leaves, free_leaves)
         ]
 
         def unflat(ls):
@@ -423,6 +470,19 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
             neg_h = ld1 - 0.5 * sum(jnp.sum(pi * pi) for pi in p1)
             dead1 = dead | ~(jnp.abs(neg_h - neg_h0) <= max_err)
             w = lambda o, n: jnp.where(dead1, o, n)
+            if record:
+                (w1, b1), precs1 = unflat(q1)
+                (gw1, gb1), _ = unflat(g1)
+                ys = {
+                    "hamiltonian": neg_h,
+                    "params": flatten_wb(w1, b1),
+                    "ldg": flatten_wb(gw1, gb1),
+                    "precisions": jnp.concatenate(
+                        [x.reshape(-1) for x in jax.tree.leaves(precs1)]
+                    ),
+                }
+            else:
+                ys = None
             return (
                 [w(a, b) for a, b in zip(q, q1)],
                 [w(a, b) for a, b in zip(p, p1)],
@@ -430,9 +490,9 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
                 w(ld, ld1),
                 w(yp, yp1),
                 dead1,
-            ), None
+            ), ys
 
-        (q_f, p_f, _, ld_f, yp_f, dead), _ = jax.lax.scan(
+        (q_f, p_f, _, ld_f, yp_f, dead), traj = jax.lax.scan(
             body, (leaves, mom, g0, ld0, yp0, jnp.asarray(False)), None, length=L
         )
         neg_h_f = ld_f - 0.5 * sum(jnp.sum(pi * pi) for pi in p_f)
@@ -452,6 +512,10 @@ def make_hmc_step_joint(model_type: str, act_name: str, cfg: MCMCCfg):
                 dead | jnp.isnan(log_acc), 0.0, jnp.minimum(1.0, jnp.exp(log_acc))
             ),
         )
+        if record:
+            traj = dict(traj)
+            traj["hamiltonian"] = jnp.concatenate([neg_h0[None], traj["hamiltonian"]])
+            return (res, wp_new, bp_new, ep_new), traj
         return res, wp_new, bp_new, ep_new
 
     return hmc

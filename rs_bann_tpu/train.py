@@ -167,19 +167,44 @@ def _unpad_flat(net: Net, g: int, flat: np.ndarray) -> list:
     return np.concatenate(pieces).tolist()
 
 
+def _unpad_prec_flat(net: Net, g: int, flat: np.ndarray) -> list:
+    """Padded-flat precision vector (w_prec per layer, b_prec, error) ->
+    true entries only (ARD layers carry one precision per true input row)."""
+    arch = net.arch
+    ins = arch.layer_in_counts()
+    p = net.state.precisions
+    pieces, ix = [], 0
+    for l in range(arch.num_layers):
+        rows = p.weights[l].shape[1]  # 1 (base) or in_pad (ARD)
+        v = flat[ix : ix + rows]
+        pieces.append(v[: ins[l][g]] if rows > 1 else v)
+        ix += rows
+    for l in range(arch.num_layers - 1):
+        pieces.append(flat[ix : ix + 1])
+        ix += 1
+    pieces.append(flat[ix : ix + 1])  # error precision
+    return np.concatenate(pieces).tolist()
+
+
 def _write_traj_lines(f, net: Net, traj) -> None:
     """One JSONL record per branch update, in update order
-    (trajectory.rs:4-43 schema: params/ldg/num_ldg series + hamiltonian)."""
+    (trajectory.rs:4-43 schema: params/ldg/num_ldg series + hamiltonian;
+    joint-HMC runs additionally record the precision series)."""
     perm = np.asarray(traj["perm"])
     params = np.asarray(traj["params"])  # [G, L, P]
     ldg = np.asarray(traj["ldg"])
     ham = np.asarray(traj["hamiltonian"])  # [G, L+1]
     num_ldg = np.asarray(traj["num_ldg"]) if "num_ldg" in traj else None
+    precs = np.asarray(traj["precisions"]) if "precisions" in traj else None
     for i, g in enumerate(perm):
         rec = {
             "branch_ix": int(g),
             "params": [_unpad_flat(net, g, params[i, t]) for t in range(params.shape[1])],
-            "precisions": [],
+            "precisions": (
+                [_unpad_prec_flat(net, g, precs[i, t]) for t in range(precs.shape[1])]
+                if precs is not None
+                else []
+            ),
             "ldg": [_unpad_flat(net, g, ldg[i, t]) for t in range(ldg.shape[1])],
             "num_ldg": (
                 [_unpad_flat(net, g, num_ldg[i, t]) for t in range(num_ldg.shape[1])]

@@ -160,6 +160,55 @@ def test_joint_hmc_runs(tmp_path):
     assert float(net.state.precisions.error) > 0
 
 
+@pytest.mark.parametrize("update_mode", ["parallel", "hybrid"])
+def test_joint_hmc_parallel_modes(tmp_path, update_mode):
+    """Joint HMC under the parallel/hybrid schedules: local precisions move
+    in-HMC, the shared scalars by per-sweep/per-block conjugate Gibbs."""
+    arch = NetArch(m=(6, 6), h=(3, 3), s=(3, 3), depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.7, n=150)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=8, burn_in=8, hmc_integration_length=10,
+        outpath=str(tmp_path), seed=2, joint_hmc=True,
+        hmc_step_size_factor=0.002, update_mode=update_mode, block_size=1,
+    )
+    net, stats = train(net, dtr, cfg, verbose=False)
+    assert np.isfinite(stats.lpd[-1])
+    assert float(net.state.precisions.error) > 0
+    # local precisions must have moved away from their init (HMC coordinates)
+    wp0 = np.asarray(init_net(arch, "ridge_base", InitCfg(seed=1))[0].precisions.weights[0])
+    assert not np.allclose(np.asarray(net.state.precisions.weights[0]), wp0)
+
+
+def test_joint_hmc_trajectories(tmp_path):
+    """Joint mode records per-leapfrog-step trajectories incl. the precision
+    series (the reference records trajectories in hmc_step_joint too)."""
+    import json
+
+    arch = NetArch(m=(5,), h=(3,), s=(3,), depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.7, n=100)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    L = 7
+    cfg = MCMCCfg(
+        chain_length=3, burn_in=3, hmc_integration_length=L,
+        outpath=str(tmp_path), seed=2, joint_hmc=True, trajectories=True,
+        hmc_step_size_factor=0.01,
+    )
+    net, _ = train(net, dtr, cfg, verbose=False)
+    lines = [json.loads(l) for l in open(os.path.join(str(tmp_path), "traj"))]
+    assert len(lines) == 3  # one per branch update
+    rec = lines[0]
+    assert len(rec["hamiltonian"]) == L + 1
+    assert len(rec["params"]) == L
+    assert len(rec["precisions"]) == L
+    # per step: 2 weight precisions + 1 bias precision + error precision
+    assert len(rec["precisions"][0]) == 4
+    assert np.isfinite(rec["precisions"][0]).all()
+    assert np.isfinite(rec["hamiltonian"]).all()
+
+
 def test_gradient_descent_mode(tmp_path):
     arch = NetArch(m=(6,), h=(3,), s=(3,), depth=0)
     dtr, _ = simulate(arch, "ridge_base", h2=0.9, n=150)
