@@ -94,6 +94,9 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    help="hybrid mode: branches per parallel block")
     p.add_argument("--gd-warmup", type=int, default=0,
                    help="gradient-descent sweeps before sampling (MAP start)")
+    p.add_argument("--mass-adaptation", action="store_true",
+                   help="adapt a diagonal mass matrix during burn-in "
+                   "(per-coordinate step sizes from warmup posterior scales)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--bf16", action="store_true",
@@ -170,6 +173,7 @@ def _mcmc_cfg_from_args(args, outpath: str):
         update_mode=args.update_mode,
         block_size=args.block_size,
         gd_warmup=args.gd_warmup,
+        mass_adaptation=args.mass_adaptation,
     )
 
 
@@ -184,6 +188,8 @@ def _run_outdir_name(args) -> str:
     )
     if args.joint_hmc:
         name += "_joint"
+    if args.mass_adaptation:
+        name += "_mass"
     if args.gradient_descent:
         name += "_gd"
     if args.gradient_descent_joint:
@@ -387,6 +393,8 @@ def cmd_train(args):
     )
     if args.joint_hmc:
         name += "_joint"
+    if args.mass_adaptation:
+        name += "_mass"
     if args.gradient_descent:
         name += "_gd"
     if args.fixed_param_precision is not None:

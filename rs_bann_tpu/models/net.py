@@ -60,10 +60,20 @@ class TrainCarry(NamedTuple):
     da_log_eps_bar: jax.Array  # [G]
     da_h_bar: jax.Array  # [G]
     da_t: jax.Array  # scalar sweep counter
+    # diagonal-mass-matrix adaptation state (cfg.mass_adaptation): Welford
+    # mean/M2 of the padded-flat branch params over warmup sweeps; [G, 0]
+    # placeholders when the feature is off so the pytree stays uniform
+    mm_mean: jax.Array  # [G, P_flat]
+    mm_m2: jax.Array  # [G, P_flat]
 
 
 # dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
 _DA_GAMMA, _DA_T0, _DA_KAPPA = 0.05, 10.0, 0.75
+
+# pseudo-observations shrinking the Welford variance toward the prior
+# variance (Stan's windowed-adaptation regularization, retargeted at the
+# prior scale so count=0 exactly reproduces the izmailov rule)
+_MASS_SHRINK = 5.0
 
 
 def _da_update(cfg, t, h_bar, log_eps_bar, alpha, mu):
@@ -74,6 +84,46 @@ def _da_update(cfg, t, h_bar, log_eps_bar, alpha, mu):
     w = t ** (-_DA_KAPPA)
     log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
     return h_bar, log_eps, log_eps_bar
+
+
+def _prior_var_trees(model_type, wp_g, bp_g, w_like, b_like):
+    """Per-coordinate prior variances (the mass-estimate shrinkage target):
+    ridge N(0, 1/λ) -> 1/λ; lasso Laplace(λ) -> 2/λ²; biases always ridge."""
+    if D.is_lasso(model_type):
+        var_w = tuple(
+            jnp.broadcast_to(2.0 / (lam * lam), w.shape)
+            for w, lam in zip(w_like, wp_g)
+        )
+    else:
+        var_w = tuple(
+            jnp.broadcast_to(1.0 / lam, w.shape) for w, lam in zip(w_like, wp_g)
+        )
+    var_b = tuple(
+        jnp.broadcast_to(1.0 / lam, b.shape) for b, lam in zip(b_like, bp_g)
+    )
+    return var_w, var_b
+
+
+def _mass_std(model_type, mean_g, m2_g, count, wp_g, bp_g, w_like, b_like):
+    """Per-coordinate posterior-std estimate for one branch: the Welford
+    variance over warmup states, shrunk toward the current prior variance."""
+    from ..samplers.hmc import unflatten_wb
+
+    emp_var = m2_g / jnp.maximum(count - 1.0, 1.0)
+    ew, eb = unflatten_wb(emp_var, w_like, b_like)
+    pw, pb = _prior_var_trees(model_type, wp_g, bp_g, w_like, b_like)
+    wgt = count / (count + _MASS_SHRINK)
+    mass_w = tuple(jnp.sqrt(wgt * e + (1.0 - wgt) * p) for e, p in zip(ew, pw))
+    mass_b = tuple(jnp.sqrt(wgt * e + (1.0 - wgt) * p) for e, p in zip(eb, pb))
+    return mass_w, mass_b
+
+
+def _welford(mean, m2, x, n):
+    """One Welford update at new count ``n`` (elementwise over any shape)."""
+    delta = x - mean
+    mean = mean + delta / n
+    m2 = m2 + delta * (x - mean)
+    return mean, m2
 
 
 class SweepStats(NamedTuple):
@@ -229,6 +279,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         1 + 2 * (L - 1) + 1
     )  # rough per-branch precision count for joint step sizing
     adaptive = cfg.hmc_step_size_mode == "dual_averaging"
+    mass_adapt = cfg.mass_adaptation and not (
+        joint or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
+    burn_f = float(cfg.burn_in)
     record_traj = cfg.trajectories and not (
         cfg.gradient_descent or cfg.gradient_descent_joint
     )
@@ -316,9 +370,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 step_factor = jnp.exp(
                     jnp.where(warm, carry.da_log_eps[g], carry.da_log_eps_bar[g])
                 )
+            extra = ()
+            if mass_adapt:
+                cnt = jnp.minimum(carry.da_t, burn_f)
+                extra = _mass_std(
+                    model_type, carry.mm_mean[g], carry.mm_m2[g], cnt,
+                    wp_g, bp_g, w_g, b_g,
+                )
             out = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
-                mw_g, mb_g, st_g.n_params, step_factor,
+                mw_g, mb_g, st_g.n_params, step_factor, *extra,
             )
             res, traj = out if record_traj else (out, ())
 
@@ -346,6 +407,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             tuple(params.biases[l].at[g].set(res.biases[l]) for l in range(L - 1)),
         )
         precisions = StackedPrecisions(wp, bp, err_prec)
+
+        mm_mean, mm_m2 = carry.mm_mean, carry.mm_m2
+        if mass_adapt:
+            from ..samplers.hmc import flatten_wb
+
+            warm_mm = carry.da_t < burn_f
+            flat = flatten_wb(res.weights, res.biases)
+            mean_new, m2_new = _welford(mm_mean[g], mm_m2[g], flat, carry.da_t + 1.0)
+            mm_mean = mm_mean.at[g].set(jnp.where(warm_mm, mean_new, mm_mean[g]))
+            mm_m2 = mm_m2.at[g].set(jnp.where(warm_mm, m2_new, mm_m2[g]))
 
         # ---- log posterior density bookkeeping (log_posterior_density.rs)
         w_g = tuple(w[g] for w in params.weights)
@@ -383,6 +454,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_log_eps_bar=da_log_eps_bar,
             da_h_bar=da_h_bar,
             da_t=carry.da_t,
+            mm_mean=mm_mean,
+            mm_m2=mm_m2,
         )
         return new_carry, (traj if record_traj else ())
 
@@ -497,13 +570,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             wp = tuple(wp_new[l] if l < L - 1 else wp[l] for l in range(L))
             bp = tuple(bp_new)
         else:
-            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
+            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
                 return transition(
                     k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar,
-                    fac if adaptive else None,
+                    fac if adaptive else None, *extra,
                 )
 
-            out = jax.vmap(one)(
+            operands = [
                 hmc_keys,
                 params.weights,
                 params.biases,
@@ -515,7 +588,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 masks_b,
                 statics.n_params,
                 step_factors,
-            )
+            ]
+            if mass_adapt:
+                cnt = jnp.minimum(carry.da_t, burn_f)
+                mass_w, mass_b = jax.vmap(
+                    lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
+                        model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
+                    )
+                )(carry.mm_mean, carry.mm_m2, wp, bp, params.weights, params.biases)
+                operands += [mass_w, mass_b]
+            out = jax.vmap(one)(*operands)
             if record_traj:
                 res, trajs = out
                 trajs = dict(trajs)
@@ -525,6 +607,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         params = StackedParams(res.weights, res.biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
         residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
+
+        mm_mean, mm_m2 = carry.mm_mean, carry.mm_m2
+        if mass_adapt:
+            from ..samplers.hmc import flatten_wb
+
+            warm_mm = carry.da_t < burn_f
+            flat = jax.vmap(flatten_wb)(res.weights, res.biases)  # [G, P]
+            mean_new, m2_new = _welford(mm_mean, mm_m2, flat, carry.da_t + 1.0)
+            mm_mean = jnp.where(warm_mm, mean_new, mm_mean)
+            mm_m2 = jnp.where(warm_mm, m2_new, mm_m2)
 
         # LPD bookkeeping, vectorized
         lpd_local = jax.vmap(
@@ -579,6 +671,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_log_eps_bar=da_log_eps_bar,
             da_h_bar=da_h_bar,
             da_t=carry.da_t + 1.0,
+            mm_mean=mm_mean,
+            mm_m2=mm_m2,
         )
         return carry, finish(carry, trajs)
 
@@ -683,19 +777,28 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 )
                 bp = tuple(bp[l].at[ixs].set(bp_new[l]) for l in range(L - 1))
             else:
-                def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac):
+                def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
                     return transition(
                         k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
-                        npar, fac if adaptive else None,
+                        npar, fac if adaptive else None, *extra,
                     )
 
-                out = jax.vmap(one)(
+                operands = [
                     hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
                     tuple(m[ixs] for m in masks_w),
                     tuple(m[ixs] for m in masks_b),
                     statics.n_params[ixs],
                     step_factors,
-                )
+                ]
+                if mass_adapt:
+                    cnt = jnp.minimum(c.da_t, burn_f)
+                    mass_w, mass_b = jax.vmap(
+                        lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
+                            model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
+                        )
+                    )(c.mm_mean[ixs], c.mm_m2[ixs], wp_b, bp_b, w_b, b_b)
+                    operands += [mass_w, mass_b]
+                out = jax.vmap(one)(*operands)
                 res = out[0] if record_traj else out
             params = StackedParams(
                 tuple(params.weights[l].at[ixs].set(res.weights[l]) for l in range(L)),
@@ -703,6 +806,20 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             precisions = StackedPrecisions(wp, bp, err_prec)
             residual = residual + jnp.sum(preds - res.y_pred, axis=0)
+
+            mm_mean, mm_m2 = c.mm_mean, c.mm_m2
+            if mass_adapt:
+                from ..samplers.hmc import flatten_wb
+
+                warm_mm = c.da_t < burn_f
+                flat = jax.vmap(flatten_wb)(res.weights, res.biases)  # [B, P]
+                mean_new, m2_new = _welford(
+                    mm_mean[ixs], mm_m2[ixs], flat, c.da_t + 1.0
+                )
+                mm_mean = mm_mean.at[ixs].set(
+                    jnp.where(warm_mm, mean_new, mm_mean[ixs])
+                )
+                mm_m2 = mm_m2.at[ixs].set(jnp.where(warm_mm, m2_new, mm_m2[ixs]))
 
             lpd_block = jax.vmap(
                 lambda w_g, b_g, wp_g, bp_g, st_g: D.joint_local_term(
@@ -769,6 +886,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 da_log_eps_bar=da_log_eps_bar,
                 da_h_bar=da_h_bar,
                 da_t=c.da_t,
+                mm_mean=mm_mean,
+                mm_m2=mm_m2,
             ), None
 
         carry, _ = jax.lax.scan(block_update, carry, perm)
@@ -974,8 +1093,15 @@ class Net:
         return self
 
     # ------------------------------------------------------------- training
-    def init_carry(self, X, y, key, step_size_factor: float = 1.0) -> TrainCarry:
-        """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171)."""
+    def init_carry(
+        self, X, y, key, step_size_factor: float = 1.0,
+        mass_adaptation: bool = False,
+    ) -> TrainCarry:
+        """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171).
+
+        ``mass_adaptation`` sizes the Welford accumulators ([G, P_flat] when
+        on, [G, 0] placeholders when off — the state is two param-sized
+        copies, so it is only allocated when the feature is used)."""
         residual = y - self.predict(X)
         statics = D.branch_statics(self.arch)
         s = self.state
@@ -1005,6 +1131,12 @@ class Net:
 
         G = self.arch.num_branches
         log_eps0 = _math.log(step_size_factor)
+        if mass_adaptation:
+            flat_dim = sum(
+                int(np.prod(w.shape[1:])) for w in s.params.weights
+            ) + sum(int(np.prod(b.shape[1:])) for b in s.params.biases)
+        else:
+            flat_dim = 0
         return TrainCarry(
             state=s,
             residual=residual,
@@ -1017,6 +1149,8 @@ class Net:
             da_log_eps_bar=jnp.full(G, log_eps0),
             da_h_bar=jnp.zeros(G),
             da_t=jnp.asarray(0.0),
+            mm_mean=jnp.zeros((G, flat_dim)),
+            mm_m2=jnp.zeros((G, flat_dim)),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

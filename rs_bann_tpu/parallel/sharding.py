@@ -96,6 +96,8 @@ def _carry_specs(
         da_log_eps_bar=P(c, b) if chains else P(b),
         da_h_bar=P(c, b) if chains else P(b),
         da_t=P(c) if chains else P(),
+        mm_mean=P(c, b, None) if chains else P(b, None),
+        mm_m2=P(c, b, None) if chains else P(b, None),
     )
 
 

@@ -75,16 +75,34 @@ def step_sizes(
     b_precisions,
     n_params,
     step_factor=None,
+    mass_w=None,
+    mass_b=None,
 ):
     """Per-coordinate leapfrog step sizes for (weights, biases).
 
     ``step_factor`` overrides the static cfg factor (may be a traced scalar —
-    used by dual-averaging adaptation, which scales the izmailov shape)."""
+    used by dual-averaging adaptation, which scales the izmailov shape).
+
+    ``mass_w``/``mass_b`` (tuples of per-coordinate posterior-std estimates,
+    same shapes as weights/biases) switch on the diagonal-mass-matrix form:
+    leapfrog with unit momenta and per-coordinate ε_i = ε·σ̂_i is exactly
+    equivalent to HMC with mass matrix M_ii = 1/σ̂_i² — the izmailov rule
+    ε ∝ π/(2√λ·L) (ridge_base.rs:82-115) is the special case σ̂ = prior std,
+    so this replaces the prior scale by the warmup-estimated posterior scale.
+    """
     mode = cfg.hmc_step_size_mode
     factor = cfg.hmc_step_size_factor if step_factor is None else step_factor
     if mode == "dual_averaging":
         mode = "izmailov"
     L = cfg.hmc_integration_length
+    if mass_w is not None:
+        if mode == "std_scaled":
+            scale = factor
+        else:  # izmailov shape: ε_i = factor·(π/2L)·σ̂_i for every prior family
+            scale = factor * math.pi / (2.0 * L)
+        eps_w = tuple(scale * s for s in mass_w)
+        eps_b = tuple(scale * s for s in mass_b)
+        return eps_w, eps_b
     if mode == "uniform":
         eps_w = tuple(jnp.full(w.shape, factor) for w in weights)
         eps_b = tuple(jnp.full(b.shape, factor) for b in biases)
@@ -157,7 +175,8 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
 
     Returned signature:
       hmc(key, weights, biases, w_precisions, b_precisions, error_precision,
-          x, y, masks_w, masks_b, n_params[, step_factor]) -> HMCResult
+          x, y, masks_w, masks_b, n_params[, step_factor, mass_w, mass_b])
+        -> HMCResult
     (-> (HMCResult, traj dict) when cfg.trajectories is set; traj holds
     per-leapfrog-step padded-flat params/ldg and the Hamiltonian series,
     trajectory.rs:4-43.)
@@ -216,13 +235,15 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         masks_b,
         n_params,
         step_factor=None,
+        mass_w=None,
+        mass_b=None,
     ):
         vg = make_num_vg(masks_w, masks_b) if cfg.num_grad else vg_exact
         num_vg = make_num_vg(masks_w, masks_b) if cfg.num_grad_traj else None
         k_eps, k_mom, k_acc = jax.random.split(key, 3)
         eps_w, eps_b = step_sizes(
             k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions,
-            n_params, step_factor,
+            n_params, step_factor, mass_w, mass_b,
         )
         mkeys = jax.random.split(k_mom, len(weights) + len(biases))
         p_w = tuple(

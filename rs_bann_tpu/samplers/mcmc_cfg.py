@@ -43,6 +43,11 @@ class MCMCCfg:
     # and matches the sharding granularity)
     block_size: int = 0  # hybrid mode: branches per parallel block
     gd_warmup: int = 0  # run N gradient-descent sweeps before sampling
+    mass_adaptation: bool = False  # TPU extension: estimate per-coordinate
+    # posterior variances during warmup (Welford over kept branch states,
+    # shrunk toward the prior variance) and use them as a diagonal mass
+    # matrix — per-coordinate step sizes ε_i = ε·σ̂_i replacing the
+    # prior-scale izmailov rule. Marginal HMC only.
 
     def __post_init__(self):
         if self.burn_in < 0:
@@ -53,6 +58,15 @@ class MCMCCfg:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "Fixed precisions and joint hmc / gd are mutually exclusive"
             )
+        if self.mass_adaptation:
+            assert not (self.joint_hmc or self.gradient_descent_joint), (
+                "mass adaptation applies to marginal HMC only"
+            )
+            assert self.hmc_step_size_mode in (
+                "izmailov",
+                "std_scaled",
+                "dual_averaging",
+            ), "mass adaptation needs a precision-shaped step-size mode"
 
     # ---- output path helpers (mcmc_cfg.rs:232-262)
     def hyperparam_path(self):

@@ -335,6 +335,7 @@ def train(
 
         gd_cfg = _dc.replace(
             cfg, gradient_descent=True, joint_hmc=False, trajectories=False,
+            mass_adaptation=False,
             hmc_step_size_factor=min(cfg.hmc_step_size_factor, 1e-3),
             hmc_integration_length=min(cfg.hmc_integration_length, 20),
         )
@@ -343,7 +344,9 @@ def train(
     if C == 1:
         sweep_jit = jax.jit(sweep)
         key = jax.random.key(cfg.seed)
-        carry = net.init_carry(X, y, key, cfg.hmc_step_size_factor)
+        carry = net.init_carry(
+            X, y, key, cfg.hmc_step_size_factor, cfg.mass_adaptation
+        )
     else:
         # chains run sequentially inside one compiled program (lax.map):
         # measured ~2.7x faster than a vmapped chain batch on v5e, which
@@ -354,7 +357,9 @@ def train(
         )
         keys = jax.random.split(jax.random.key(cfg.seed), C)
         carry = jax.vmap(
-            lambda k: net.init_carry(X, y, k, cfg.hmc_step_size_factor)
+            lambda k: net.init_carry(
+                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation
+            )
         )(keys)
 
     stats = TrainingStats()
@@ -520,9 +525,7 @@ def train(
         stats.update_counts(counts)
         if chain_ix >= cfg.burn_in and save_models:
             carry_like = TrainCarry(
-                state=state_k, residual=None, lpd_local=None, lpd_out=None,
-                lpd_rss=None, counts=None, key=None, da_log_eps=None,
-                da_log_eps_bar=None, da_h_bar=None, da_t=None,
+                **{**{f: None for f in TrainCarry._fields}, "state": state_k}
             )
             save_sample(carry_like, chain_ix)
             if cfg.effect_sizes and not hasattr(X, "bytes"):
