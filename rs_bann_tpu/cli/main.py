@@ -97,6 +97,11 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     p.add_argument("--mass-adaptation", action="store_true",
                    help="adapt a diagonal mass matrix during burn-in "
                    "(per-coordinate step sizes from warmup posterior scales)")
+    p.add_argument("--tempering", action="store_true",
+                   help="parallel tempering over the chain axis (slot 0 cold; "
+                   "needs --num-chains >= 2; saved samples = cold chain only)")
+    p.add_argument("--max-temperature", type=float, default=4.0,
+                   help="hottest tempering slot's temperature (1/beta)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--bf16", action="store_true",
@@ -174,6 +179,8 @@ def _mcmc_cfg_from_args(args, outpath: str):
         block_size=args.block_size,
         gd_warmup=args.gd_warmup,
         mass_adaptation=args.mass_adaptation,
+        tempering=args.tempering,
+        max_temperature=args.max_temperature,
     )
 
 
@@ -190,6 +197,8 @@ def _run_outdir_name(args) -> str:
         name += "_joint"
     if args.mass_adaptation:
         name += "_mass"
+    if args.tempering:
+        name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
         name += "_gd"
     if args.gradient_descent_joint:
@@ -395,6 +404,8 @@ def cmd_train(args):
         name += "_joint"
     if args.mass_adaptation:
         name += "_mass"
+    if args.tempering:
+        name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
         name += "_gd"
     if args.fixed_param_precision is not None:

@@ -65,6 +65,11 @@ class TrainCarry(NamedTuple):
     # placeholders when the feature is off so the pytree stays uniform
     mm_mean: jax.Array  # [G, P_flat]
     mm_m2: jax.Array  # [G, P_flat]
+    # inverse temperature of this chain slot (cfg.tempering): the sweep
+    # targets p(θ)·L(θ)^β — β scales the error precision seen by HMC and
+    # the (rss, n) evidence of the error-precision / output-bias Gibbs
+    # draws. Always 1.0 when tempering is off.
+    beta: jax.Array  # scalar
 
 
 # dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
@@ -282,6 +287,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     mass_adapt = cfg.mass_adaptation and not (
         joint or cfg.gradient_descent or cfg.gradient_descent_joint
     )
+    # cfg validation forbids tempering with joint/GD modes, but the trainer's
+    # GD warm start rebuilds the sweep with gradient_descent=True while
+    # keeping cfg.tempering — gate on the effective mode here too
+    temper = cfg.tempering and not (
+        joint or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
     burn_f = float(cfg.burn_in)
     record_traj = cfg.trajectories and not (
         cfg.gradient_descent or cfg.gradient_descent_joint
@@ -307,7 +318,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         bp = precisions.biases
 
         if gibbs_precisions:
-            err_prec = gibbs.error_precision_posterior(k_e, hyper, residual)
+            err_prec = gibbs.error_precision_posterior(
+                k_e, hyper, residual, carry.beta if temper else None
+            )
+        # tempered likelihood L^β enters HMC and the bias draw as β·λ_e;
+        # the stored λ_e and the LPD bookkeeping stay untempered
+        err_hmc = err_prec * carry.beta if temper else err_prec
         if sample_local:
             new_wp_g, new_bp_g = _gibbs_local_precisions(
                 k_loc, model_type, w_g, b_g, st_g, hyper, L
@@ -378,7 +394,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     wp_g, bp_g, w_g, b_g,
                 )
             out = transition(
-                k_hmc, w_g, b_g, wp_g, bp_g, err_prec, x_g, target,
+                k_hmc, w_g, b_g, wp_g, bp_g, err_hmc, x_g, target,
                 mw_g, mb_g, st_g.n_params, step_factor, *extra,
             )
             res, traj = out if record_traj else (out, ())
@@ -439,7 +455,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         residual, bias, bias_prec = _update_output_bias(
             cfg, hyper, k_bias, residual, state.output_bias,
-            state.output_bias_precision, err_prec,
+            state.output_bias_precision, err_hmc,
         )
 
         new_carry = TrainCarry(
@@ -456,6 +472,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_t=carry.da_t,
             mm_mean=mm_mean,
             mm_m2=mm_m2,
+            beta=carry.beta,
         )
         return new_carry, (traj if record_traj else ())
 
@@ -496,7 +513,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         if gibbs_precisions or joint:
             # in parallel-joint mode the shared scalars are frozen inside the
             # per-branch HMC and drawn here from their conjugate conditionals
-            err_prec = gibbs.error_precision_posterior(k_e, hyper, carry.residual)
+            err_prec = gibbs.error_precision_posterior(
+                k_e, hyper, carry.residual, carry.beta if temper else None
+            )
+        err_hmc = err_prec * carry.beta if temper else err_prec
         if joint:
             lam_out = _gibbs_output_precision(
                 k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
@@ -572,7 +592,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         else:
             def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
                 return transition(
-                    k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g, npar,
+                    k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g, npar,
                     fac if adaptive else None, *extra,
                 )
 
@@ -638,7 +658,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         residual, bias, bias_prec = _update_output_bias(
             cfg, hyper, k_bias, residual, state.output_bias,
-            state.output_bias_precision, err_prec,
+            state.output_bias_precision, err_hmc,
         )
 
         counts = carry.counts
@@ -673,6 +693,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             da_t=carry.da_t + 1.0,
             mm_mean=mm_mean,
             mm_m2=mm_m2,
+            beta=carry.beta,
         )
         return carry, finish(carry, trajs)
 
@@ -698,7 +719,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
             if gibbs_precisions or joint:
-                err_prec = gibbs.error_precision_posterior(k_e, hyper, residual)
+                err_prec = gibbs.error_precision_posterior(
+                    k_e, hyper, residual, c.beta if temper else None
+                )
+            err_hmc = err_prec * c.beta if temper else err_prec
             if joint:
                 lam_out = _gibbs_output_precision(
                     k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
@@ -779,7 +803,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             else:
                 def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
                     return transition(
-                        k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                        k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g,
                         npar, fac if adaptive else None, *extra,
                     )
 
@@ -847,7 +871,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
             residual, bias, bias_prec = _update_output_bias(
                 cfg, hyper, k_bias, residual, state.output_bias,
-                state.output_bias_precision, err_prec,
+                state.output_bias_precision, err_hmc,
             )
 
             counts = c.counts
@@ -888,6 +912,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 da_t=c.da_t,
                 mm_mean=mm_mean,
                 mm_m2=mm_m2,
+                beta=c.beta,
             ), None
 
         carry, _ = jax.lax.scan(block_update, carry, perm)
@@ -1096,12 +1121,16 @@ class Net:
     def init_carry(
         self, X, y, key, step_size_factor: float = 1.0,
         mass_adaptation: bool = False,
+        beta=1.0,
     ) -> TrainCarry:
         """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171).
 
         ``mass_adaptation`` sizes the Welford accumulators ([G, P_flat] when
         on, [G, 0] placeholders when off — the state is two param-sized
-        copies, so it is only allocated when the feature is used)."""
+        copies, so it is only allocated when the feature is used).
+
+        ``beta`` is this chain slot's inverse temperature (parallel
+        tempering); 1.0 targets the true posterior."""
         residual = y - self.predict(X)
         statics = D.branch_statics(self.arch)
         s = self.state
@@ -1151,6 +1180,7 @@ class Net:
             da_t=jnp.asarray(0.0),
             mm_mean=jnp.zeros((G, flat_dim)),
             mm_m2=jnp.zeros((G, flat_dim)),
+            beta=jnp.asarray(beta, jnp.float32),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

@@ -98,6 +98,7 @@ def _carry_specs(
         da_t=P(c) if chains else P(),
         mm_mean=P(c, b, None) if chains else P(b, None),
         mm_m2=P(c, b, None) if chains else P(b, None),
+        beta=P(c) if chains else P(),
     )
 
 

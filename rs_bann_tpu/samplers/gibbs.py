@@ -47,14 +47,20 @@ def ridge_single_precision_posterior(key, prior_shape, prior_scale, value):
     return ridge_precision_posterior(key, prior_shape, prior_scale, value * value, 1.0)
 
 
-def error_precision_posterior(key, hyper, residual):
+def error_precision_posterior(key, hyper, residual, beta=None):
     """λ_e | r ~ ridge posterior on the residual vector.
 
     The reference uses the *output layer* hyperparams for the error precision
     prior (branch_sampler.rs:190-202).
+
+    ``beta`` (inverse temperature, parallel tempering): the conditional under
+    the tempered likelihood L^β is Gamma(k + β·n/2, 2s/(2 + s·β·rss)) —
+    exactly the β=1 posterior with (rss, n) scaled by β.
     """
     rss = jnp.sum(residual * residual)
     n = jnp.asarray(residual.shape[-1], jnp.float32)
+    if beta is not None:
+        rss, n = beta * rss, beta * n
     return ridge_precision_posterior(key, hyper.output_shape, hyper.output_scale, rss, n)
 
 

@@ -48,6 +48,13 @@ class MCMCCfg:
     # shrunk toward the prior variance) and use them as a diagonal mass
     # matrix — per-coordinate step sizes ε_i = ε·σ̂_i replacing the
     # prior-scale izmailov rule. Marginal HMC only.
+    tempering: bool = False  # TPU extension: parallel tempering (replica
+    # exchange) across the chain axis. Chain slot c targets the tempered
+    # posterior p(θ)·L(θ)^β_c with a geometric ladder β_c from 1 down to
+    # 1/max_temperature; adjacent slots propose state swaps after every
+    # sweep (alternating even/odd pairs). Only slot 0 (β=1) is the true
+    # posterior — the trainer saves models from it alone. Marginal HMC only.
+    max_temperature: float = 4.0  # hottest chain's temperature 1/β_last
 
     def __post_init__(self):
         if self.burn_in < 0:
@@ -58,6 +65,16 @@ class MCMCCfg:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "Fixed precisions and joint hmc / gd are mutually exclusive"
             )
+        if self.tempering:
+            assert self.num_chains >= 2, (
+                "tempering needs num_chains >= 2 (one slot per temperature)"
+            )
+            assert self.max_temperature > 1.0, "max_temperature must be > 1"
+            assert not (
+                self.joint_hmc
+                or self.gradient_descent
+                or self.gradient_descent_joint
+            ), "tempering applies to marginal HMC only"
         if self.mass_adaptation:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "mass adaptation applies to marginal HMC only"

@@ -49,6 +49,10 @@ class TrainingStats:
         self.mse_train = []
         self.mse_test = None
         self.lpd = []
+        # parallel tempering: replica-exchange swap proposals between
+        # adjacent temperature slots (0 / 0 when tempering is off)
+        self.pt_swaps_proposed = 0
+        self.pt_swaps_accepted = 0
 
     def update_counts(self, counts):
         self.num_accepted = int(counts[0])
@@ -66,19 +70,23 @@ class TrainingStats:
             self.num_samples - self.num_early_rejected - self.num_accepted
         ) / max(self.num_samples, 1)
 
+    def pt_swap_rate(self):
+        return self.pt_swaps_accepted / max(self.pt_swaps_proposed, 1)
+
     def to_file(self, outdir):
+        rec = {
+            "num_samples": self.num_samples,
+            "num_accepted": self.num_accepted,
+            "num_early_rejected": self.num_early_rejected,
+            "mse_train": self.mse_train,
+            "mse_test": self.mse_test,
+            "lpd": self.lpd,
+        }
+        if self.pt_swaps_proposed:
+            rec["pt_swaps_proposed"] = self.pt_swaps_proposed
+            rec["pt_swaps_accepted"] = self.pt_swaps_accepted
         with open(os.path.join(outdir, "training_stats"), "w") as f:
-            json.dump(
-                {
-                    "num_samples": self.num_samples,
-                    "num_accepted": self.num_accepted,
-                    "num_early_rejected": self.num_early_rejected,
-                    "mse_train": self.mse_train,
-                    "mse_test": self.mse_test,
-                    "lpd": self.lpd,
-                },
-                f,
-            )
+            json.dump(rec, f)
 
 
 def _write_hyperparams(net: Net, cfg: MCMCCfg):
@@ -225,6 +233,57 @@ def _write_effect_sizes(net: Net, X, model_ix: int, outdir: str, state) -> None:
         np.savetxt(path, es[g][:, : net.arch.m[g]], delimiter=",", fmt="%.7g")
 
 
+def tempering_ladder(num_chains: int, max_temperature: float) -> np.ndarray:
+    """Geometric inverse-temperature ladder: β_0 = 1 (cold, the true
+    posterior) down to β_{C-1} = 1/max_temperature."""
+    return (1.0 / max_temperature) ** (
+        np.arange(num_chains) / max(num_chains - 1, 1)
+    )
+
+
+def _pt_swap(carry: TrainCarry, parity):
+    """One replica-exchange round between adjacent temperature slots.
+
+    ``carry`` is chain-stacked ([C, ...] leaves). Pairs (i, i+1) with
+    i ≡ parity (mod 2) propose to exchange their sampler STATES (params,
+    precisions, residual, LPD terms); β, RNG keys, counts and the
+    step-size/mass adaptation state stay attached to the slot, so slot 0
+    is always the cold chain. Acceptance is the standard replica-exchange
+    ratio exp((β_i − β_j)(ℓ_j − ℓ_i)) with ℓ the UNTEMPERED Gaussian
+    log-likelihood n/2·log(λ_e/2π) − λ_e/2·rss — the prior terms cancel
+    because the full states are exchanged.
+
+    Returns (carry, proposed_mask [C-1], accepted_mask [C-1]).
+    """
+    lam = carry.state.precisions.error  # [C]
+    rss = jnp.sum(carry.residual**2, axis=-1)  # [C]
+    n = carry.residual.shape[-1]
+    ell = 0.5 * n * jnp.log(lam / (2.0 * jnp.pi)) - 0.5 * lam * rss
+    betas = carry.beta  # [C]
+    C = betas.shape[0]
+    i = jnp.arange(C - 1)
+    proposed = (i % 2) == parity
+    log_ratio = (betas[:-1] - betas[1:]) * (ell[1:] - ell[:-1])
+    k_swap = jax.random.fold_in(carry.key[0], 0x5157)
+    u = jax.random.uniform(k_swap, (C - 1,))
+    accepted = proposed & (jnp.log(u) < log_ratio)
+    # permutation of slots: swapped pairs never overlap (parity masking)
+    perm = jnp.arange(C)
+    take_next = jnp.zeros(C, bool).at[:-1].set(accepted)
+    take_prev = jnp.zeros(C, bool).at[1:].set(accepted)
+    perm = jnp.where(take_next, perm + 1, jnp.where(take_prev, perm - 1, perm))
+    state, residual, lpd_local, lpd_out, lpd_rss = jax.tree.map(
+        lambda a: a[perm],
+        (carry.state, carry.residual, carry.lpd_local, carry.lpd_out,
+         carry.lpd_rss),
+    )
+    carry = carry._replace(
+        state=state, residual=residual, lpd_local=lpd_local,
+        lpd_out=lpd_out, lpd_rss=lpd_rss,
+    )
+    return carry, proposed, accepted
+
+
 def prepare_state_for_training(net: Net, cfg_fixed_precision: Optional[float]):
     """Inject the GlobalParams init into the state, as the reference's first
     ``update_global_params`` does (architectures.rs:216-236, net.rs:262):
@@ -333,9 +392,15 @@ def train(
     if cfg.gd_warmup > 0 and not (cfg.gradient_descent or cfg.gradient_descent_joint):
         import dataclasses as _dc
 
+        # GD ignores the step-size mode (its line search sets its own rate),
+        # but an adaptive mode would make the GD sweeps advance the
+        # dual-averaging state and the da_t warmup counter from meaningless
+        # GD "acceptances", corrupting the subsequent HMC adaptation — pin a
+        # static mode here and reset the counters after the warm start
         gd_cfg = _dc.replace(
             cfg, gradient_descent=True, joint_hmc=False, trajectories=False,
-            mass_adaptation=False,
+            mass_adaptation=False, tempering=False,
+            hmc_step_size_mode="izmailov",
             hmc_step_size_factor=min(cfg.hmc_step_size_factor, 1e-3),
             hmc_integration_length=min(cfg.hmc_integration_length, 20),
         )
@@ -356,11 +421,16 @@ def train(
             lambda c, X_, y_: jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
         )
         keys = jax.random.split(jax.random.key(cfg.seed), C)
+        betas = (
+            jnp.asarray(tempering_ladder(C, cfg.max_temperature), jnp.float32)
+            if cfg.tempering
+            else jnp.ones(C, jnp.float32)
+        )
         carry = jax.vmap(
-            lambda k: net.init_carry(
-                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation
+            lambda k, b: net.init_carry(
+                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation, b
             )
-        )(keys)
+        )(keys, betas)
 
     stats = TrainingStats()
     start_ix = 0
@@ -374,12 +444,25 @@ def train(
     trace_f = open(cfg.trace_path(), mode) if cfg.trace else None
     traj_f = open(cfg.trajectories_path(), mode) if cfg.trajectories else None
 
+    tempering = cfg.tempering and C > 1
+    # tempered slots target DIFFERENT distributions: every reported
+    # statistic and every saved sample comes from the cold slot (chain 0)
+
     def record(carry, sweep_stats=None):
         if sweep_stats is None:
             if C == 1:
                 mse_train = float(jnp.sum(carry.residual**2) / y.shape[0])
                 lpd = float(
                     carry.lpd_rss + carry.lpd_out + jnp.sum(carry.lpd_local)
+                )
+            elif tempering:
+                mse_train = float(
+                    jnp.sum(carry.residual[0] ** 2) / y.shape[0]
+                )
+                lpd = float(
+                    carry.lpd_rss[0]
+                    + carry.lpd_out[0]
+                    + jnp.sum(carry.lpd_local[0])
                 )
             else:
                 mse_train = float(
@@ -393,13 +476,24 @@ def train(
                     )
                 )
         else:
-            mse_train = float(jnp.mean(sweep_stats.mse_train))
-            lpd = float(jnp.mean(sweep_stats.lpd))
+            if tempering:
+                mse_train = float(np.asarray(sweep_stats.mse_train)[0])
+                lpd = float(np.asarray(sweep_stats.lpd)[0])
+            else:
+                mse_train = float(jnp.mean(sweep_stats.mse_train))
+                lpd = float(jnp.mean(sweep_stats.lpd))
         stats.mse_train.append(mse_train)
         stats.lpd.append(lpd)
         if test_data is not None:
             if C == 1:
                 mse_t = float(net.mse(test_data.X, test_data.y, carry.state))
+            elif tempering:
+                mse_t = float(
+                    net.mse(
+                        test_data.X, test_data.y,
+                        jax.tree.map(lambda a: a[0], carry.state),
+                    )
+                )
             else:
                 mse_t = float(
                     jnp.mean(
@@ -415,6 +509,11 @@ def train(
     def save_sample(carry, ix):
         if C == 1:
             net.save(os.path.join(cfg.models_path(), f"{ix}.npz"), carry.state)
+        elif tempering:
+            net.save(
+                os.path.join(cfg.models_path(), f"{ix}.npz"),
+                jax.tree.map(lambda a: a[0], carry.state),
+            )
         else:
             for c in range(C):
                 d = os.path.join(cfg.models_path(), f"chain{c}")
@@ -443,7 +542,8 @@ def train(
         for _ in range(cfg.gd_warmup):
             carry, _gd_stats = gd_jit(carry, X, y)
         carry = carry._replace(
-            counts=jnp.zeros_like(carry.counts)
+            counts=jnp.zeros_like(carry.counts),
+            da_t=jnp.zeros_like(carry.da_t),
         )
         log.info("gd warm start: %d sweeps", cfg.gd_warmup)
 
@@ -478,24 +578,40 @@ def train(
     # bakes them into the executable as constants (and past the remote
     # compiler's request size limit for genome-scale X).
     def one_sweep(c, X_, y_, Xt_, yt_):
+        pt = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         if C == 1:
             c2, st = sweep(c, X_, y_)
             mse_t = net.mse(Xt_, yt_, c2.state) if has_test else jnp.asarray(0.0)
         else:
             c2, st = jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
-            mse_t = (
-                jnp.mean(jax.lax.map(lambda s: net.mse(Xt_, yt_, s), c2.state))
-                if has_test
-                else jnp.asarray(0.0)
-            )
-        return c2, st, mse_t
+            if tempering:
+                # replica exchange between adjacent temperature slots,
+                # alternating even/odd pairs by sweep parity
+                parity = jnp.mod(c2.da_t[0], 2.0).astype(jnp.int32)
+                c2, proposed, accepted = _pt_swap(c2, parity)
+                pt = (
+                    jnp.sum(proposed).astype(jnp.int32),
+                    jnp.sum(accepted).astype(jnp.int32),
+                )
+                mse_t = (
+                    net.mse(Xt_, yt_, jax.tree.map(lambda a: a[0], c2.state))
+                    if has_test
+                    else jnp.asarray(0.0)
+                )
+            else:
+                mse_t = (
+                    jnp.mean(jax.lax.map(lambda s: net.mse(Xt_, yt_, s), c2.state))
+                    if has_test
+                    else jnp.asarray(0.0)
+                )
+        return c2, st, mse_t, pt
 
     @functools.lru_cache(maxsize=None)
     def multi_sweep(K):
         def run(c, X_, y_, Xt_, yt_):
             def body(cc, _):
-                c2, st, mse_t = one_sweep(cc, X_, y_, Xt_, yt_)
-                return c2, (st, mse_t, c2.state)
+                c2, st, mse_t, pt = one_sweep(cc, X_, y_, Xt_, yt_)
+                return c2, (st, mse_t, c2.state, pt)
 
             return jax.lax.scan(body, c, None, length=K)
 
@@ -505,9 +621,16 @@ def train(
             lambda c, X_, y_: run(c, X_, y_, None, None)
         )
 
-    def process_iteration(chain_ix, st_k, mse_t_k, state_k):
-        mse_train = float(np.mean(np.asarray(st_k.mse_train)))
-        lpd = float(np.mean(np.asarray(st_k.lpd)))
+    def process_iteration(chain_ix, st_k, mse_t_k, state_k, pt_k=None):
+        if tempering:
+            mse_train = float(np.asarray(st_k.mse_train)[0])
+            lpd = float(np.asarray(st_k.lpd)[0])
+        else:
+            mse_train = float(np.mean(np.asarray(st_k.mse_train)))
+            lpd = float(np.mean(np.asarray(st_k.lpd)))
+        if pt_k is not None:
+            stats.pt_swaps_proposed += int(pt_k[0])
+            stats.pt_swaps_accepted += int(pt_k[1])
         stats.mse_train.append(mse_train)
         stats.lpd.append(lpd)
         if has_test:
@@ -544,6 +667,8 @@ def train(
             if stats.mse_test is not None:
                 msg += f" \t | mse(tst): {stats.mse_test[-1]:.4f}"
             msg += f" | lpd: {stats.lpd[-1]:.4f}"
+            if tempering and stats.pt_swaps_proposed:
+                msg += f" | pt_swap: {stats.pt_swap_rate():.2f}"
             log.info(msg)
 
     t0 = time.time()
@@ -551,13 +676,15 @@ def train(
     while chain_ix < cfg.chain_length:
         K = min(K_auto, cfg.chain_length - chain_ix)
         if has_test:
-            carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(
+            carry, (st_all, mse_t_all, states_all, pt_all) = multi_sweep(K)(
                 carry, X, y, Xt, yt
             )
         else:
-            carry, (st_all, mse_t_all, states_all) = multi_sweep(K)(carry, X, y)
-        st_all, mse_t_all, states_all = jax.device_get(
-            (st_all, mse_t_all, states_all)
+            carry, (st_all, mse_t_all, states_all, pt_all) = multi_sweep(K)(
+                carry, X, y
+            )
+        st_all, mse_t_all, states_all, pt_all = jax.device_get(
+            (st_all, mse_t_all, states_all, pt_all)
         )
         for k in range(K):
             chain_ix += 1
@@ -566,6 +693,7 @@ def train(
                 jax.tree.map(lambda a: a[k], st_all),
                 mse_t_all[k],
                 jax.tree.map(lambda a: a[k], states_all),
+                (pt_all[0][k], pt_all[1][k]),
             )
         if checkpoint_interval > 0 and (
             chain_ix % checkpoint_interval < K or chain_ix >= cfg.chain_length

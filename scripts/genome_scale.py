@@ -1,0 +1,198 @@
+"""Genome-scale accuracy experiment driver.
+
+The workload behind BASELINE_SELF.json's ``genome_scale`` section
+(the rebuild's stand-in for the reference's UKB-scale study,
+/root/reference/scripts/sim_random_phen.r): a sparse linear trait over
+``--snps`` markers split into ``--branches`` uniform groups, h² controlled,
+trained with any model/update-mode/sampler configuration, reporting the
+posterior-mean test r² against the closed-form ridge-BLUP baseline and the
+sparse-oracle ceiling.
+
+Truth: X_ij ~ Binomial(2, maf_j), maf_j ~ U(0.05, 0.5); a ``--causal-frac``
+random subset of standardized markers gets β_j ~ N(0, 1), g = X_std β scaled
+so var(g)/var(y) = h². Truth and MCMC seeds are separate so replications can
+vary either independently.
+
+Usage examples:
+  python scripts/genome_scale.py --update-mode hybrid --block-size 10 \
+      --chain-length 400                       # the r²≈0.34-0.39 config
+  python scripts/genome_scale.py --update-mode hybrid --block-size 10 \
+      --chain-length 400 --mass-adaptation --step-size-mode dual_averaging
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def make_data(args):
+    rng = np.random.default_rng(args.seed_truth)
+    m_tot = args.snps
+    n = args.n_train + args.n_test
+    maf = rng.uniform(0.05, 0.5, m_tot)
+    X = rng.binomial(2, maf, size=(n, m_tot)).astype(np.float32)
+    mu, sd = X.mean(0), X.std(0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    ncausal = max(1, int(round(args.causal_frac * m_tot)))
+    causal = rng.choice(m_tot, ncausal, replace=False)
+    beta = np.zeros(m_tot, np.float32)
+    beta[causal] = rng.standard_normal(ncausal)
+    g = Xs @ beta
+    noise = rng.standard_normal(n) * np.sqrt(g.var() * (1 / args.h2 - 1))
+    y = (g + noise).astype(np.float32)
+    y = (y - y.mean()) / y.std()
+    realized_h2 = float(g.var() / (g + noise).var())
+    tr = slice(0, args.n_train)
+    te = slice(args.n_train, n)
+    return X[tr], y[tr], X[te], y[te], g[te], realized_h2
+
+
+def blup_r2(X_tr, y_tr, X_te, y_te, h2):
+    """Closed-form ridge/BLUP baseline: λ = m(1−h²)/h², solved in the
+    n×n dual form (m ≫ n territory is the whole point of BLUP)."""
+    mu, sd = X_tr.mean(0), X_tr.std(0)
+    sd[sd == 0] = 1.0
+    Z_tr = (X_tr - mu) / sd
+    Z_te = (X_te - mu) / sd
+    m = X_tr.shape[1]
+    lam = m * (1 - h2) / h2
+    K = Z_tr @ Z_tr.T
+    alpha = np.linalg.solve(K + lam * np.eye(K.shape[0]), y_tr - y_tr.mean())
+    pred = Z_te @ (Z_tr.T @ alpha) + y_tr.mean()
+    return float(np.corrcoef(pred, y_te)[0, 1] ** 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snps", type=int, default=10_000)
+    ap.add_argument("--branches", type=int, default=100)
+    ap.add_argument("--n-train", type=int, default=8000)
+    ap.add_argument("--n-test", type=int, default=1600)
+    ap.add_argument("--h2", type=float, default=0.6)
+    ap.add_argument("--causal-frac", type=float, default=0.05)
+    ap.add_argument("--model", default="ridge_ard")
+    ap.add_argument("--activation", default="identity")
+    ap.add_argument("--depth", type=int, default=0)
+    ap.add_argument("--summary-width", type=int, default=8)
+    ap.add_argument("--hidden-width", type=int, default=8)
+    ap.add_argument("--update-mode", default="hybrid",
+                    choices=["sequential", "parallel", "hybrid"])
+    ap.add_argument("--block-size", type=int, default=10)
+    ap.add_argument("--chain-length", type=int, default=400)
+    ap.add_argument("--burn-in", type=int, default=None)
+    ap.add_argument("--integration-length", type=int, default=30)
+    ap.add_argument("--step-size", type=float, default=1.0)
+    ap.add_argument("--step-size-mode", default="izmailov")
+    ap.add_argument("--mass-adaptation", action="store_true")
+    ap.add_argument("--gd-warmup", type=int, default=0)
+    ap.add_argument("--num-chains", type=int, default=1)
+    ap.add_argument("--seed-truth", type=int, default=1)
+    ap.add_argument("--seed-init", type=int, default=1)
+    ap.add_argument("--seed-mcmc", type=int, default=3)
+    ap.add_argument("--blup", action="store_true", help="also run ridge BLUP")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--outdir", default=None, help="keep run artifacts here")
+    ap.add_argument("--json-out", default=None, help="append result line here")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from rs_bann_tpu.models import density as D
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.data import stack_standardized
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+    from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+    from rs_bann_tpu.train import train
+    from rs_bann_tpu.vis import posterior_predictions
+
+    X_tr, y_tr, X_te, y_te, g_te, realized_h2 = make_data(args)
+    oracle = float(np.corrcoef(g_te, y_te)[0, 1] ** 2)
+    print(f"realized h2 = {realized_h2:.3f}, oracle (true-g) test r2 = "
+          f"{oracle:.3f}", file=sys.stderr, flush=True)
+
+    rec = {
+        "workload": f"G={args.branches} x m={args.snps // args.branches} "
+        f"({args.snps} SNPs), n={args.n_train}/{args.n_test}, "
+        f"{args.causal_frac:.0%} causal, h2={args.h2}",
+        "realized_h2": round(realized_h2, 3),
+        "oracle_r2": round(oracle, 3),
+        "model": args.model,
+        "activation": args.activation,
+        "update_mode": args.update_mode,
+        "block_size": args.block_size,
+        "chain_length": args.chain_length,
+        "step_size_mode": args.step_size_mode,
+        "mass_adaptation": args.mass_adaptation,
+        "seeds": [args.seed_truth, args.seed_init, args.seed_mcmc],
+    }
+
+    if args.blup:
+        t0 = time.time()
+        rec["blup_r2"] = round(blup_r2(X_tr, y_tr, X_te, y_te, args.h2), 3)
+        print(f"ridge BLUP test r2 = {rec['blup_r2']} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
+    G = args.branches
+    m = args.snps // G
+    arch = NetArch.uniform(
+        G, m, args.hidden_width, args.depth, args.summary_width,
+        activation=args.activation,
+    )
+    cols_tr = [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
+    cols_te = [X_te[:, g * m:(g + 1) * m] for g in range(G)]
+    dtr = stack_standardized(arch, cols_tr, y_tr)
+    # test matrices standardized with TRAIN moments (bed.rs:304-323 contract)
+    mu = [c.mean(0) for c in cols_tr]
+    sd = [np.where(c.std(0) == 0, 1, c.std(0)) for c in cols_tr]
+    cols_te_std = [
+        ((c - mu[g]) / sd[g]).astype(np.float32) for g, c in enumerate(cols_te)
+    ]
+    dte = stack_standardized(arch, cols_te_std, y_te, standardize=False)
+
+    state, _ = init_net(arch, args.model, InitCfg(seed=args.seed_init))
+    net = Net(args.model, arch, D.Hyperparameters(), state)
+    import tempfile
+
+    outdir = args.outdir or tempfile.mkdtemp(prefix="gscale_")
+    cl = args.chain_length
+    cfg = MCMCCfg(
+        chain_length=cl,
+        burn_in=cl // 2 if args.burn_in is None else args.burn_in,
+        hmc_integration_length=args.integration_length,
+        hmc_step_size_factor=args.step_size,
+        hmc_step_size_mode=args.step_size_mode,
+        update_mode=args.update_mode,
+        block_size=args.block_size,
+        gd_warmup=args.gd_warmup,
+        mass_adaptation=args.mass_adaptation,
+        num_chains=args.num_chains,
+        outpath=outdir,
+        seed=args.seed_mcmc,
+    )
+    t0 = time.time()
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=True)
+    rec["wall_s"] = round(time.time() - t0, 1)
+    rec["acceptance_rate"] = round(stats.acceptance_rate(), 3)
+    preds = posterior_predictions(f"{outdir}/models", dte.X)
+    pm = preds.mean(axis=0)
+    rec["test_r2"] = round(float(np.corrcoef(pm, y_te)[0, 1] ** 2), 3)
+    print(json.dumps(rec), flush=True)
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
