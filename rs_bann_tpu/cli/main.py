@@ -97,6 +97,13 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     p.add_argument("--mass-adaptation", action="store_true",
                    help="adapt a diagonal mass matrix during burn-in "
                    "(per-coordinate step sizes from warmup posterior scales)")
+    p.add_argument("--traj-length-mode",
+                   choices=["fixed", "jittered", "uturn"], default="fixed",
+                   help="dynamic trajectory lengths: jittered = random "
+                   "l ~ U{1..L} per branch update; uturn = NUTS-style, adapt "
+                   "the nominal length to the first-u-turn step during "
+                   "burn-in (needs a length-independent --step-size-mode, "
+                   "e.g. dual_averaging)")
     p.add_argument("--tempering", action="store_true",
                    help="parallel tempering over the chain axis (slot 0 cold; "
                    "needs --num-chains >= 2; saved samples = cold chain only)")
@@ -181,6 +188,7 @@ def _mcmc_cfg_from_args(args, outpath: str):
         mass_adaptation=args.mass_adaptation,
         tempering=args.tempering,
         max_temperature=args.max_temperature,
+        hmc_traj_length_mode=args.traj_length_mode,
     )
 
 
@@ -197,6 +205,8 @@ def _run_outdir_name(args) -> str:
         name += "_joint"
     if args.mass_adaptation:
         name += "_mass"
+    if args.traj_length_mode != "fixed":
+        name += f"_{args.traj_length_mode}"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
@@ -404,6 +414,8 @@ def cmd_train(args):
         name += "_joint"
     if args.mass_adaptation:
         name += "_mass"
+    if args.traj_length_mode != "fixed":
+        name += f"_{args.traj_length_mode}"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:

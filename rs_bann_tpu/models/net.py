@@ -70,6 +70,10 @@ class TrainCarry(NamedTuple):
     # the (rss, n) evidence of the error-precision / output-bias Gibbs
     # draws. Always 1.0 when tempering is off.
     beta: jax.Array  # scalar
+    # per-branch nominal trajectory length (cfg.hmc_traj_length_mode ==
+    # "uturn"): running estimate of the first-u-turn step, adapted during
+    # warmup; 0.0 = uninitialized (treated as the full integration length)
+    tl_avg: jax.Array  # [G]
 
 
 # dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
@@ -121,6 +125,36 @@ def _mass_std(model_type, mean_g, m2_g, count, wp_g, bp_g, w_like, b_like):
     mass_w = tuple(jnp.sqrt(wgt * e + (1.0 - wgt) * p) for e, p in zip(ew, pw))
     mass_b = tuple(jnp.sqrt(wgt * e + (1.0 - wgt) * p) for e, p in zip(eb, pb))
     return mass_w, mass_b
+
+
+def _draw_traj_len(key, tl_avg, L: int, mode: str):
+    """Per-branch leapfrog-step count for this update (any tl_avg shape).
+
+    jittered: l ~ U{1..L}. uturn: l ~ U{⌈nom/2⌉..nom} around the adapted
+    nominal length (0.0 sentinel = not yet adapted → the full L)."""
+    if mode == "jittered":
+        return jax.random.randint(key, tl_avg.shape, 1, L + 1)
+    nom = jnp.clip(jnp.round(jnp.where(tl_avg > 0.0, tl_avg, float(L))), 1.0, float(L))
+    lo = jnp.ceil(0.5 * nom)
+    u = jax.random.uniform(key, tl_avg.shape)
+    return (lo + jnp.floor(u * (nom - lo + 1.0))).astype(jnp.int32)
+
+
+_TL_EMA = 0.1  # u-turn length adaptation rate
+
+
+def _tl_update(tl, uturn_step, drawn, code, warm, L: int):
+    """EMA update of the nominal trajectory length from one observation:
+    the first-u-turn step if one occurred within the ``drawn`` integrated
+    steps, else min(2·drawn, L) (the u-turn lies beyond what we integrated —
+    push the estimate up). Divergent trajectories (code 2) are skipped.
+    Elementwise over any shape."""
+    seen = uturn_step > 0
+    obs = jnp.where(seen, uturn_step, jnp.minimum(2 * drawn, L)).astype(jnp.float32)
+    ok = warm & (code != 2)
+    fresh = tl <= 0.0
+    new = jnp.where(fresh, obs, (1.0 - _TL_EMA) * tl + _TL_EMA * obs)
+    return jnp.where(ok, new, tl)
 
 
 def _welford(mean, m2, x, n):
@@ -294,6 +328,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         joint or cfg.gradient_descent or cfg.gradient_descent_joint
     )
     burn_f = float(cfg.burn_in)
+    # dynamic trajectory lengths (marginal HMC only; cfg validates)
+    dyn_len = cfg.hmc_traj_length_mode != "fixed" and not (
+        joint or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
+    uturn_adapt = dyn_len and cfg.hmc_traj_length_mode == "uturn"
+    L_int = cfg.hmc_integration_length
     record_traj = cfg.trajectories and not (
         cfg.gradient_descent or cfg.gradient_descent_joint
     )
@@ -304,7 +344,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     def branch_update(carry: TrainCarry, g, X, y):
         state, residual = carry.state, carry.residual
         params, precisions = state.params, state.precisions
-        key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(carry.key, 6)
+        key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
+            carry.key, 7
+        )
 
         w_g = tuple(w[g] for w in params.weights)
         b_g = tuple(b[g] for b in params.biases)
@@ -393,11 +435,27 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     model_type, carry.mm_mean[g], carry.mm_m2[g], cnt,
                     wp_g, bp_g, w_g, b_g,
                 )
+            kw = {}
+            traj_len = None
+            if dyn_len:
+                traj_len = _draw_traj_len(
+                    k_len, carry.tl_avg[g], L_int, cfg.hmc_traj_length_mode
+                )
+                kw["traj_len"] = traj_len
             out = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_hmc, x_g, target,
-                mw_g, mb_g, st_g.n_params, step_factor, *extra,
+                mw_g, mb_g, st_g.n_params, step_factor, *extra, **kw,
             )
             res, traj = out if record_traj else (out, ())
+
+        tl_avg = carry.tl_avg
+        if uturn_adapt:
+            tl_avg = tl_avg.at[g].set(
+                _tl_update(
+                    tl_avg[g], res.uturn_step, traj_len, res.code,
+                    carry.da_t < burn_f, L_int,
+                )
+            )
 
         da_log_eps, da_log_eps_bar, da_h_bar = (
             carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
@@ -473,6 +531,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             mm_mean=mm_mean,
             mm_m2=mm_m2,
             beta=carry.beta,
+            tl_avg=tl_avg,
         )
         return new_carry, (traj if record_traj else ())
 
@@ -505,7 +564,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     def sweep_parallel(carry: TrainCarry, X, y):
         state = carry.state
         params, precisions = state.params, state.precisions
-        key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(carry.key, 6)
+        key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
+            carry.key, 7
+        )
 
         # shared scalar Gibbs draws once per sweep, from the snapshot
         err_prec = precisions.error
@@ -590,13 +651,33 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             wp = tuple(wp_new[l] if l < L - 1 else wp[l] for l in range(L))
             bp = tuple(bp_new)
         else:
-            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
+            traj_lens = (
+                _draw_traj_len(k_len, carry.tl_avg, L_int, cfg.hmc_traj_length_mode)
+                if dyn_len
+                else None
+            )
+
+            def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac,
+                    mass, tl):
+                kw = {}
+                if mass is not None:
+                    kw["mass_w"], kw["mass_b"] = mass
+                if tl is not None:
+                    kw["traj_len"] = tl
                 return transition(
                     k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g, npar,
-                    fac if adaptive else None, *extra,
+                    fac if adaptive else None, **kw,
                 )
 
-            operands = [
+            mass = None
+            if mass_adapt:
+                cnt = jnp.minimum(carry.da_t, burn_f)
+                mass = jax.vmap(
+                    lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
+                        model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
+                    )
+                )(carry.mm_mean, carry.mm_m2, wp, bp, params.weights, params.biases)
+            out = jax.vmap(one)(
                 hmc_keys,
                 params.weights,
                 params.biases,
@@ -608,16 +689,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 masks_b,
                 statics.n_params,
                 step_factors,
-            ]
-            if mass_adapt:
-                cnt = jnp.minimum(carry.da_t, burn_f)
-                mass_w, mass_b = jax.vmap(
-                    lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
-                        model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
-                    )
-                )(carry.mm_mean, carry.mm_m2, wp, bp, params.weights, params.biases)
-                operands += [mass_w, mass_b]
-            out = jax.vmap(one)(*operands)
+                mass,
+                traj_lens,
+            )
             if record_traj:
                 res, trajs = out
                 trajs = dict(trajs)
@@ -627,6 +701,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         params = StackedParams(res.weights, res.biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
         residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
+
+        tl_avg = carry.tl_avg
+        if uturn_adapt:
+            tl_avg = _tl_update(
+                tl_avg, res.uturn_step, traj_lens, res.code,
+                carry.da_t < burn_f, L_int,
+            )
 
         mm_mean, mm_m2 = carry.mm_mean, carry.mm_m2
         if mass_adapt:
@@ -694,6 +775,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             mm_mean=mm_mean,
             mm_m2=mm_m2,
             beta=carry.beta,
+            tl_avg=tl_avg,
         )
         return carry, finish(carry, trajs)
 
@@ -714,7 +796,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         def block_update(c: TrainCarry, ixs):
             state, residual = c.state, c.residual
             params, precisions = state.params, state.precisions
-            key, k_e, k_loc, k_out, k_hmc, k_bias = jax.random.split(c.key, 6)
+            key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
+                c.key, 7
+            )
 
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
@@ -801,28 +885,43 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 )
                 bp = tuple(bp[l].at[ixs].set(bp_new[l]) for l in range(L - 1))
             else:
-                def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac, *extra):
+                traj_lens = (
+                    _draw_traj_len(
+                        k_len, c.tl_avg[ixs], L_int, cfg.hmc_traj_length_mode
+                    )
+                    if dyn_len
+                    else None
+                )
+
+                def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar,
+                        fac, mass, tl):
+                    kw = {}
+                    if mass is not None:
+                        kw["mass_w"], kw["mass_b"] = mass
+                    if tl is not None:
+                        kw["traj_len"] = tl
                     return transition(
                         k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g,
-                        npar, fac if adaptive else None, *extra,
+                        npar, fac if adaptive else None, **kw,
                     )
 
-                operands = [
+                mass = None
+                if mass_adapt:
+                    cnt = jnp.minimum(c.da_t, burn_f)
+                    mass = jax.vmap(
+                        lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
+                            model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
+                        )
+                    )(c.mm_mean[ixs], c.mm_m2[ixs], wp_b, bp_b, w_b, b_b)
+                out = jax.vmap(one)(
                     hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
                     tuple(m[ixs] for m in masks_w),
                     tuple(m[ixs] for m in masks_b),
                     statics.n_params[ixs],
                     step_factors,
-                ]
-                if mass_adapt:
-                    cnt = jnp.minimum(c.da_t, burn_f)
-                    mass_w, mass_b = jax.vmap(
-                        lambda mn, m2, wp_g, bp_g, w_g, b_g: _mass_std(
-                            model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
-                        )
-                    )(c.mm_mean[ixs], c.mm_m2[ixs], wp_b, bp_b, w_b, b_b)
-                    operands += [mass_w, mass_b]
-                out = jax.vmap(one)(*operands)
+                    mass,
+                    traj_lens,
+                )
                 res = out[0] if record_traj else out
             params = StackedParams(
                 tuple(params.weights[l].at[ixs].set(res.weights[l]) for l in range(L)),
@@ -830,6 +929,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             precisions = StackedPrecisions(wp, bp, err_prec)
             residual = residual + jnp.sum(preds - res.y_pred, axis=0)
+
+            tl_avg = c.tl_avg
+            if uturn_adapt:
+                tl_avg = tl_avg.at[ixs].set(
+                    _tl_update(
+                        tl_avg[ixs], res.uturn_step, traj_lens, res.code,
+                        c.da_t < burn_f, L_int,
+                    )
+                )
 
             mm_mean, mm_m2 = c.mm_mean, c.mm_m2
             if mass_adapt:
@@ -913,6 +1021,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 mm_mean=mm_mean,
                 mm_m2=mm_m2,
                 beta=c.beta,
+                tl_avg=tl_avg,
             ), None
 
         carry, _ = jax.lax.scan(block_update, carry, perm)
@@ -1181,6 +1290,8 @@ class Net:
             mm_mean=jnp.zeros((G, flat_dim)),
             mm_m2=jnp.zeros((G, flat_dim)),
             beta=jnp.asarray(beta, jnp.float32),
+            # 0.0 sentinel = no u-turn length adapted yet (full length used)
+            tl_avg=jnp.zeros(G),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

@@ -99,6 +99,7 @@ def _carry_specs(
         mm_mean=P(c, b, None) if chains else P(b, None),
         mm_m2=P(c, b, None) if chains else P(b, None),
         beta=P(c) if chains else P(),
+        tl_avg=P(c, b) if chains else P(b),
     )
 
 

@@ -51,6 +51,11 @@ class HMCResult(NamedTuple):
     y_pred: jax.Array  # [n] prediction at the RETURNED params
     log_density: jax.Array  # -U at the returned params
     accept_prob: jax.Array  # Metropolis acceptance probability (0 if diverged)
+    # first leapfrog step (1-based) where the trajectory u-turned
+    # (Σ (q_t − q_0)·p_t < 0, the reference's net_movement diagnostic,
+    # branch_sampler.rs:551-592), 0 if never within the integrated steps.
+    # None for transitions that do not track it (joint HMC, GD).
+    uturn_step: object = None
 
 
 def _tree_mul_add(xs, eps, ps, frac=1.0):
@@ -237,7 +242,14 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         step_factor=None,
         mass_w=None,
         mass_b=None,
+        traj_len=None,
     ):
+        """``traj_len`` (traced int scalar, 1..L) truncates the trajectory to
+        that many leapfrog steps by freezing the scan carry — the compiled
+        program always runs L steps (static shapes), but the proposal is the
+        state after ``traj_len`` steps. Drawn independently of the state by
+        the sweep (randomized-length HMC / u-turn-adaptive mode), so detailed
+        balance holds per drawn length."""
         vg = make_num_vg(masks_w, masks_b) if cfg.num_grad else vg_exact
         num_vg = make_num_vg(masks_w, masks_b) if cfg.num_grad_traj else None
         k_eps, k_mom, k_acc = jax.random.split(key, 3)
@@ -260,10 +272,13 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
         )
         neg_h0 = ld0 - _kinetic(p_w, p_b)
 
-        init = (weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0, jnp.asarray(False))
+        init = (
+            weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0,
+            jnp.asarray(False), jnp.asarray(False),
+        )
 
-        def body(carry, _):
-            w, b, pw, pb, gw, gb, ld, yp, dead = carry
+        def body(carry, t):
+            w, b, pw, pb, gw, gb, ld, yp, dead, done = carry
             pw1 = _tree_mul_add(pw, eps_w, gw, 0.5)
             pb1 = _tree_mul_add(pb, eps_b, gb, 0.5)
             w1 = _tree_mul_add(w, eps_w, pw1)
@@ -273,10 +288,19 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
             pb1 = _tree_mul_add(pb1, eps_b, gb1, 0.5)
             neg_h = ld1 - _kinetic(pw1, pb1)
             # NaN-safe: NaN comparisons are False, so ~(|ΔH| <= max) catches NaN
-            dead1 = dead | ~(jnp.abs(neg_h - neg_h0) <= max_err)
+            dead1 = dead | (~done & ~(jnp.abs(neg_h - neg_h0) <= max_err))
+            frozen = dead1 | done
             keep = lambda old, new: jax.tree.map(
-                lambda o, n: jnp.where(dead1, o, n), old, new
+                lambda o, n: jnp.where(frozen, o, n), old, new
             )
+            # u-turn statistic at the (possibly discarded) new point:
+            # Σ (q_t − q_0)·p_t over true coordinates (p is 0 on padding)
+            move = sum(
+                jnp.sum((a1 - a0) * p1)
+                for a1, a0, p1 in zip(w1 + b1, weights + biases, pw1 + pb1)
+            )
+            uturn_here = ~frozen & (move < 0.0)
+            done1 = frozen if traj_len is None else (frozen | (t + 1 >= traj_len))
             new = (
                 keep(w, w1),
                 keep(b, b1),
@@ -284,15 +308,17 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
                 keep(pb, pb1),
                 keep(gw, gw1),
                 keep(gb, gb1),
-                jnp.where(dead1, ld, ld1),
-                jnp.where(dead1, yp, yp1),
+                jnp.where(frozen, ld, ld1),
+                jnp.where(frozen, yp, yp1),
                 dead1,
+                done1,
             )
             if record:
                 ys = {
                     "hamiltonian": neg_h,
                     "params": flatten_wb(w1, b1),
                     "ldg": flatten_wb(gw1, gb1),
+                    "uturn": uturn_here,
                 }
                 if num_vg is not None:
                     _, (ngw, ngb) = num_vg(
@@ -300,12 +326,16 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
                     )
                     ys["num_ldg"] = flatten_wb(ngw, ngb)
             else:
-                ys = neg_h
+                ys = {"hamiltonian": neg_h, "uturn": uturn_here}
             return new, ys
 
-        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead), traj = jax.lax.scan(
-            body, init, None, length=L
+        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead, _), traj = jax.lax.scan(
+            body, init, jnp.arange(L)
         )
+        uturn_flags = traj.pop("uturn")  # [L] bool
+        uturn_step = jnp.where(
+            jnp.any(uturn_flags), jnp.argmax(uturn_flags) + 1, 0
+        ).astype(jnp.int32)
 
         neg_h_f = ld_f - _kinetic(pw_f, pb_f)
         log_acc = neg_h_f - neg_h0
@@ -327,6 +357,7 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
             y_pred=jnp.where(accepted, yp_f, y_pred0),
             log_density=jnp.where(accepted, ld_f, ld0),
             accept_prob=alpha,
+            uturn_step=uturn_step,
         )
         if record:
             traj = dict(traj)

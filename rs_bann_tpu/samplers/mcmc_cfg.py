@@ -48,6 +48,17 @@ class MCMCCfg:
     # shrunk toward the prior variance) and use them as a diagonal mass
     # matrix — per-coordinate step sizes ε_i = ε·σ̂_i replacing the
     # prior-scale izmailov rule. Marginal HMC only.
+    hmc_traj_length_mode: str = "fixed"  # TPU extension: dynamic trajectory
+    # lengths. "fixed" = always hmc_integration_length steps (reference
+    # behavior). "jittered" = per branch update draw l ~ U{1..L}: randomized
+    # path lengths break the resonance/periodicity of fixed-length HMC.
+    # "uturn" = NUTS-style: during warmup, adapt a per-branch nominal length
+    # toward the first u-turn step of the trajectory (the statistic the
+    # reference computes only to log a warning, branch_sampler.rs:551-592),
+    # then draw l ~ U{nominal/2 .. nominal} — trajectories stop doubling
+    # back on themselves, raising effective samples per sweep. The compiled
+    # scan always runs L steps (static shapes); truncation freezes the carry,
+    # so pick hmc_integration_length as an upper bound. Marginal HMC only.
     tempering: bool = False  # TPU extension: parallel tempering (replica
     # exchange) across the chain axis. Chain slot c targets the tempered
     # posterior p(θ)·L(θ)^β_c with a geometric ladder β_c from 1 down to
@@ -75,6 +86,29 @@ class MCMCCfg:
                 or self.gradient_descent
                 or self.gradient_descent_joint
             ), "tempering applies to marginal HMC only"
+        assert self.hmc_traj_length_mode in ("fixed", "jittered", "uturn")
+        if self.hmc_traj_length_mode != "fixed":
+            assert not (
+                self.joint_hmc
+                or self.gradient_descent
+                or self.gradient_descent_joint
+            ), "dynamic trajectory lengths apply to marginal HMC only"
+        if self.hmc_traj_length_mode == "uturn":
+            # the izmailov rule sets ε ∝ 1/L, which places the u-turn at a
+            # FIXED ~2L steps whatever L is — adapting L toward the u-turn
+            # would chase its own tail. Require a step-size mode whose ε is
+            # length-independent (dual_averaging's adapted factor absorbs
+            # the izmailov 1/L shape).
+            assert self.hmc_step_size_mode in (
+                "uniform",
+                "random",
+                "std_scaled",
+                "dual_averaging",
+            ), (
+                "uturn trajectory-length adaptation needs a length-"
+                "independent step size (uniform/random/std_scaled/"
+                "dual_averaging), not plain izmailov"
+            )
         if self.mass_adaptation:
             assert not (self.joint_hmc or self.gradient_descent_joint), (
                 "mass adaptation applies to marginal HMC only"

@@ -400,6 +400,7 @@ def train(
         gd_cfg = _dc.replace(
             cfg, gradient_descent=True, joint_hmc=False, trajectories=False,
             mass_adaptation=False, tempering=False,
+            hmc_traj_length_mode="fixed",
             hmc_step_size_mode="izmailov",
             hmc_step_size_factor=min(cfg.hmc_step_size_factor, 1e-3),
             hmc_integration_length=min(cfg.hmc_integration_length, 20),
