@@ -104,6 +104,17 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    "the nominal length to the first-u-turn step during "
                    "burn-in (needs a length-independent --step-size-mode, "
                    "e.g. dual_averaging)")
+    p.add_argument("--spike-slab", action="store_true",
+                   help="spike-and-slab branch selection: per-branch "
+                   "inclusion indicators via an exact collapsed conjugate "
+                   "Gibbs move on the output layer; posterior inclusion "
+                   "probabilities land in <run>/inclusion_probs "
+                   "(ridge/std-normal models, marginal HMC)")
+    p.add_argument("--ss-pi", type=float, default=0.5,
+                   help="prior inclusion probability (Gibbs-updated under "
+                   "a Beta(1,1) hyperprior unless --ss-fixed-pi)")
+    p.add_argument("--ss-fixed-pi", action="store_true",
+                   help="keep the inclusion probability fixed at --ss-pi")
     p.add_argument("--tempering", action="store_true",
                    help="parallel tempering over the chain axis (slot 0 cold; "
                    "needs --num-chains >= 2; saved samples = cold chain only)")
@@ -189,6 +200,9 @@ def _mcmc_cfg_from_args(args, outpath: str):
         tempering=args.tempering,
         max_temperature=args.max_temperature,
         hmc_traj_length_mode=args.traj_length_mode,
+        spike_slab=args.spike_slab,
+        ss_pi=args.ss_pi,
+        ss_update_pi=not args.ss_fixed_pi,
     )
 
 
@@ -207,6 +221,8 @@ def _run_outdir_name(args) -> str:
         name += "_mass"
     if args.traj_length_mode != "fixed":
         name += f"_{args.traj_length_mode}"
+    if args.spike_slab:
+        name += "_ss"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
@@ -416,6 +432,8 @@ def cmd_train(args):
         name += "_mass"
     if args.traj_length_mode != "fixed":
         name += f"_{args.traj_length_mode}"
+    if args.spike_slab:
+        name += "_ss"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
@@ -596,6 +614,12 @@ def cmd_analyze(args):
     if st.get("mse_test"):
         out["mse_test_final"] = round(st["mse_test"][-1], 4)
     import os as _os
+
+    ip_path = _os.path.join(args.rundir, "inclusion_probs")
+    if _os.path.exists(ip_path):
+        rec = json.load(open(ip_path))
+        out["inclusion_pi"] = round(rec["pi"], 3)
+        out["branch_inclusion_probs"] = [round(p, 3) for p in rec["pip"]]
 
     if _os.path.exists(_os.path.join(args.rundir, "trace")):
         trace = vis.load_trace(args.rundir)

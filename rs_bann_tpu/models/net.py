@@ -74,6 +74,12 @@ class TrainCarry(NamedTuple):
     # "uturn"): running estimate of the first-u-turn step, adapted during
     # warmup; 0.0 = uninitialized (treated as the full integration length)
     tl_avg: jax.Array  # [G]
+    # spike-and-slab state (cfg.spike_slab): current inclusion indicators,
+    # the (possibly Gibbs-updated) prior inclusion probability π, and the
+    # post-burn-in running mean of z (posterior inclusion probabilities)
+    ss_z: jax.Array  # [G] float32 in {0, 1}
+    ss_pi: jax.Array  # scalar
+    ss_pip: jax.Array  # [G]
 
 
 # dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
@@ -157,6 +163,46 @@ def _tl_update(tl, uturn_step, drawn, code, warm, L: int):
     return jnp.where(ok, new, tl)
 
 
+def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask):
+    """Collapsed conjugate Gibbs move for one branch's (z, w_out).
+
+    Given the summary activations A [n, s_pad] and the branch target
+    r = residual + old branch prediction, the output layer is linear-
+    Gaussian: r ~ N(A w, λ_e⁻¹ I) with slab prior w ~ N(0, λ_out⁻¹ I).
+    The marginal-likelihood Bayes factor of slab vs spike (w = 0) is
+
+        log BF = ½(s·log λ_out − log det M) + ½ uᵀu,
+        M = λ_out I + λ_e AᵀA,  L Lᵀ = M,  L u = λ_e Aᵀ r
+
+    and w | z=1 ~ N(μ, M⁻¹) with μ = Lᵀ⁻¹ u. Padded columns of A are
+    exactly zero, making M block-diagonal between live and padded
+    coordinates — the padded block contributes 0 to log BF and is masked
+    out of the draw, so padding invariance is exact.
+
+    Returns (z [float {0,1}], w_new [s_pad, 1], log_bf).
+    """
+    s_pad = A.shape[1]
+    k_z, k_w = jax.random.split(key)
+    AtA = jax.lax.dot_general(
+        A, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    At_r = A.T @ target  # [s_pad]
+    M = lam_out * jnp.eye(s_pad) + lam_e * AtA
+    L = jnp.linalg.cholesky(M)
+    u = jax.scipy.linalg.solve_triangular(L, lam_e * At_r, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    log_bf = 0.5 * (s_pad * jnp.log(lam_out) - logdet) + 0.5 * jnp.dot(u, u)
+    logit = jnp.log(pi) - jnp.log1p(-pi) + log_bf
+    z = jax.random.bernoulli(k_z, jax.nn.sigmoid(logit)).astype(jnp.float32)
+    mu = jax.scipy.linalg.solve_triangular(L.T, u, lower=False)
+    xi = jax.random.normal(k_w, (s_pad,))
+    w = mu + jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
+    # where (not multiply): the spike must stay exactly 0 even if the slab
+    # draw is non-finite (0 * nan = nan)
+    w_new = jnp.where(z > 0.0, w, 0.0)[:, None] * out_mask
+    return z, w_new, log_bf
+
+
 def _welford(mean, m2, x, n):
     """One Welford update at new count ``n`` (elementwise over any shape)."""
     delta = x - mean
@@ -223,12 +269,18 @@ def _gibbs_output_precision(key, model_type, reg_all, n_out, hyper):
     if model_type == "std_normal":
         return jnp.asarray(1.0)
     if D.is_lasso(model_type):
-        return gibbs.lasso_precision_posterior(
+        lam = gibbs.lasso_precision_posterior(
             key, hyper.output_shape, hyper.output_scale, reg_all, n_out
         )
-    return gibbs.ridge_precision_posterior(
-        key, hyper.output_shape, hyper.output_scale, reg_all, n_out
-    )
+    else:
+        lam = gibbs.ridge_precision_posterior(
+            key, hyper.output_shape, hyper.output_scale, reg_all, n_out
+        )
+    # spike-and-slab can drive n_out to 0 (all branches excluded), making
+    # this a pure prior draw: Gamma(0.001) mass below f32-tiny is ~90%, and
+    # a 0 precision then poisons log λ downstream — floor it (harmless for
+    # data-informed draws, which are orders of magnitude larger)
+    return jnp.maximum(lam, 1e-10)
 
 
 def default_block_size(G: int) -> int:
@@ -294,6 +346,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         and model_type != "std_normal"
     )
 
+    ss_on = cfg.spike_slab and not (
+        cfg.joint_hmc or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
+    if ss_on:
+        assert not D.is_lasso(model_type), (
+            "spike_slab needs a Gaussian (conjugate) slab on the output "
+            "layer; lasso models have a Laplace output prior"
+        )
+    out_w_counts = statics.w_counts[L - 1]  # [G] true output weights per branch
+
     if cfg.gradient_descent:
         transition = make_gradient_descent(model_type, act, cfg)
         joint = False
@@ -311,7 +373,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
         joint = True
     else:
-        transition = make_hmc_step(model_type, act, cfg)
+        transition = make_hmc_step(model_type, act, cfg, freeze_output=ss_on)
         joint = False
 
     n_precisions = float(
@@ -344,8 +406,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     def branch_update(carry: TrainCarry, g, X, y):
         state, residual = carry.state, carry.residual
         params, precisions = state.params, state.precisions
-        key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
-            carry.key, 7
+        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior) = (
+            jax.random.split(carry.key, 9)
         )
 
         w_g = tuple(w[g] for w in params.weights)
@@ -375,8 +437,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 for l in range(L)
             )
             bp = tuple(bp[l].at[g].set(new_bp_g[l]) for l in range(L - 1))
+            # spike-and-slab: the shared λ_out posterior counts only the
+            # INCLUDED branches' output weights (excluded ones are the spike,
+            # not draws from the slab)
+            n_out_gibbs = (
+                jnp.sum(carry.ss_z * out_w_counts) if ss_on else n_out_tot
+            )
             lam_out = _gibbs_output_precision(
-                k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+                k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
             )
             wp = tuple(
                 jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
@@ -388,6 +456,26 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         pred_old = D.predict(act, w_g, b_g, x_g)
         target = residual + pred_old
+
+        ss_z = carry.ss_z
+        if ss_on:
+            # collapsed conjugate (z, w_out) move FIRST, from the current
+            # hidden params: the output layer is owned by this exact draw;
+            # HMC below then updates the hidden layers (output frozen) only
+            # for included branches. Excluded branches' hidden weights are
+            # redrawn from their prior — which IS their conditional given
+            # z = 0 — refreshing the summary projection A every sweep, so
+            # re-entry is not tied to one stale projection. Biases keep an
+            # identity kernel: their marginal-mode prior is improper-flat
+            # (branch_sampler.rs:104-112) and only the likelihood anchors
+            # them, so they must not random-walk while excluded.
+            _, acts0 = D.forward(act, w_g, b_g, x_g)
+            z_g, w_out_new, _ = _spike_slab_update(
+                k_ss, acts0[-2], target, err_hmc, wp_g[-1].reshape(()),
+                carry.ss_pi, mw_g[-1],
+            )
+            w_g = w_g[:-1] + (w_out_new,)
+            ss_z = ss_z.at[g].set(z_g)
 
         traj = ()
         if joint:
@@ -448,12 +536,30 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             res, traj = out if record_traj else (out, ())
 
+        res_weights, res_biases, y_pred_new = res.weights, res.biases, res.y_pred
+        inc = jnp.asarray(True)
+        if ss_on:
+            inc = z_g > 0.0
+            pk = jax.random.split(k_prior, L - 1)
+            prior_w = [
+                jax.random.normal(pk[l], w_g[l].shape)
+                / jnp.sqrt(wp_g[l]) * mw_g[l]
+                for l in range(L - 1)
+            ]
+            res_weights = tuple(
+                jnp.where(inc, res.weights[l], prior_w[l]) for l in range(L - 1)
+            ) + (w_out_new,)
+            res_biases = tuple(
+                jnp.where(inc, res.biases[l], b_g[l]) for l in range(L - 1)
+            )
+            y_pred_new = jnp.where(inc, res.y_pred, jnp.zeros_like(res.y_pred))
+
         tl_avg = carry.tl_avg
         if uturn_adapt:
             tl_avg = tl_avg.at[g].set(
                 _tl_update(
                     tl_avg[g], res.uturn_step, traj_len, res.code,
-                    carry.da_t < burn_f, L_int,
+                    (carry.da_t < burn_f) & inc, L_int,
                 )
             )
 
@@ -461,7 +567,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
         )
         if adaptive and not joint:
-            warm = carry.da_t < cfg.burn_in
+            warm = (carry.da_t < cfg.burn_in) & inc
             t = carry.da_t + 1.0
             h_new, le_new, leb_new = _da_update(
                 cfg, t, carry.da_h_bar[g], carry.da_log_eps_bar[g],
@@ -475,10 +581,10 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 jnp.where(warm, leb_new, da_log_eps_bar[g])
             )
 
-        residual = target - res.y_pred
+        residual = target - y_pred_new
         params = StackedParams(
-            tuple(params.weights[l].at[g].set(res.weights[l]) for l in range(L)),
-            tuple(params.biases[l].at[g].set(res.biases[l]) for l in range(L - 1)),
+            tuple(params.weights[l].at[g].set(res_weights[l]) for l in range(L)),
+            tuple(params.biases[l].at[g].set(res_biases[l]) for l in range(L - 1)),
         )
         precisions = StackedPrecisions(wp, bp, err_prec)
 
@@ -487,7 +593,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             from ..samplers.hmc import flatten_wb
 
             warm_mm = carry.da_t < burn_f
-            flat = flatten_wb(res.weights, res.biases)
+            flat = flatten_wb(res_weights, res_biases)
             mean_new, m2_new = _welford(mm_mean[g], mm_m2[g], flat, carry.da_t + 1.0)
             mm_mean = mm_mean.at[g].set(jnp.where(warm_mm, mean_new, mm_mean[g]))
             mm_m2 = mm_m2.at[g].set(jnp.where(warm_mm, m2_new, mm_m2[g]))
@@ -504,7 +610,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             model_type, w_g[-1]
         )
         lpd_out = D.joint_output_term(
-            model_type, w_g, wp_g, hyper, reg_sum_others, n_out_tot
+            model_type, w_g, wp_g, hyper, reg_sum_others,
+            jnp.sum(ss_z * out_w_counts) if ss_on else n_out_tot,
         )
         lpd_rss = D.joint_rss_term(
             err_prec, jnp.sum(residual**2), hyper,
@@ -522,7 +629,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             lpd_local=lpd_local,
             lpd_out=lpd_out,
             lpd_rss=lpd_rss,
-            counts=carry.counts.at[res.code].add(1),
+            counts=carry.counts.at[res.code].add(
+                inc.astype(jnp.int32) if ss_on else 1
+            ),
             key=key,
             da_log_eps=da_log_eps,
             da_log_eps_bar=da_log_eps_bar,
@@ -532,8 +641,29 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             mm_m2=mm_m2,
             beta=carry.beta,
             tl_avg=tl_avg,
+            ss_z=ss_z,
+            ss_pi=carry.ss_pi,
+            ss_pip=carry.ss_pip,
         )
         return new_carry, (traj if record_traj else ())
+
+    def ss_sweep_end(carry: TrainCarry, k_pi) -> TrainCarry:
+        """π Gibbs draw (Beta(1,1) hyperprior) + posterior-inclusion-
+        probability running mean; call after da_t was incremented."""
+        pi = carry.ss_pi
+        if cfg.ss_update_pi:
+            nz = jnp.sum(carry.ss_z)
+            pi = jnp.clip(
+                jax.random.beta(k_pi, 1.0 + nz, 1.0 + G - nz), 1e-4, 1.0 - 1e-4
+            )
+        post_k = carry.da_t - burn_f
+        pip = jnp.where(
+            post_k > 0.0,
+            carry.ss_pip
+            + (carry.ss_z - carry.ss_pip) / jnp.maximum(post_k, 1.0),
+            carry.ss_pip,
+        )
+        return carry._replace(ss_pi=pi, ss_pip=pip)
 
     def finish(carry: TrainCarry, traj=()) -> SweepStats:
         n = jnp.asarray(carry.residual.shape[0], jnp.float32)
@@ -546,7 +676,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
     # ---------------------------------------------------------- sequential
     def sweep_sequential(carry: TrainCarry, X, y):
-        key, k_perm = jax.random.split(carry.key)
+        key, k_perm, k_pi = jax.random.split(carry.key, 3)
         carry = carry._replace(key=key)
         perm = jax.random.permutation(k_perm, G)
 
@@ -555,6 +685,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         carry, trajs = jax.lax.scan(body, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
+        if ss_on:
+            carry = ss_sweep_end(carry, k_pi)
         if record_traj:
             trajs = dict(trajs)
             trajs["perm"] = perm
@@ -564,8 +696,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     def sweep_parallel(carry: TrainCarry, X, y):
         state = carry.state
         params, precisions = state.params, state.precisions
-        key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
-            carry.key, 7
+        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_pi, k_prior) = (
+            jax.random.split(carry.key, 10)
         )
 
         # shared scalar Gibbs draws once per sweep, from the snapshot
@@ -600,8 +732,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             wp = tuple(new_wp[l] if l < L - 1 else wp[l] for l in range(L))
             bp = tuple(new_bp)
+            n_out_gibbs = (
+                jnp.sum(carry.ss_z * out_w_counts) if ss_on else n_out_tot
+            )
             lam_out = _gibbs_output_precision(
-                k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+                k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
             )
             wp = tuple(
                 jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
@@ -613,6 +748,24 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             params.weights, params.biases, X
         )  # [G, n]
         targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
+
+        ss_z = carry.ss_z
+        if ss_on:
+            # collapsed conjugate (z, w_out) move from the snapshot params
+            # (see the sequential path for the full rationale); HMC below
+            # only applies to included branches
+            A_all = jax.vmap(
+                lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+            )(params.weights, params.biases, X)  # [G, n, s_pad]
+            ss_keys = jax.random.split(k_ss, G)
+            ss_z, w_out_new, _ = jax.vmap(
+                lambda k, A, t, lo, m: _spike_slab_update(
+                    k, A, t, err_hmc, lo, carry.ss_pi, m
+                )
+            )(ss_keys, A_all, targets, wp[-1].reshape(G), masks_w[-1])
+            params = StackedParams(
+                params.weights[:-1] + (w_out_new,), params.biases
+            )
 
         hmc_keys = jax.random.split(k_hmc, G)
 
@@ -698,15 +851,35 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 trajs["perm"] = jnp.arange(G)
             else:
                 res, trajs = out, ()
-        params = StackedParams(res.weights, res.biases)
+        res_weights, res_biases, y_pred_new = res.weights, res.biases, res.y_pred
+        inc = jnp.ones(G, bool)
+        if ss_on:
+            inc = ss_z > 0.0
+            pks = jax.random.split(k_prior, L - 1)
+            sel = lambda a, b_: jnp.where(
+                inc.reshape((G,) + (1,) * (a.ndim - 1)), a, b_
+            )
+            res_weights = tuple(
+                sel(
+                    res.weights[l],
+                    jax.random.normal(pks[l], params.weights[l].shape)
+                    / jnp.sqrt(wp[l]) * masks_w[l],
+                )
+                for l in range(L - 1)
+            ) + (params.weights[-1],)
+            res_biases = tuple(
+                sel(res.biases[l], params.biases[l]) for l in range(L - 1)
+            )
+            y_pred_new = jnp.where(inc[:, None], res.y_pred, 0.0)
+        params = StackedParams(res_weights, res_biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
-        residual = carry.residual + jnp.sum(preds - res.y_pred, axis=0)
+        residual = carry.residual + jnp.sum(preds - y_pred_new, axis=0)
 
         tl_avg = carry.tl_avg
         if uturn_adapt:
             tl_avg = _tl_update(
                 tl_avg, res.uturn_step, traj_lens, res.code,
-                carry.da_t < burn_f, L_int,
+                (carry.da_t < burn_f) & inc, L_int,
             )
 
         mm_mean, mm_m2 = carry.mm_mean, carry.mm_m2
@@ -714,7 +887,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             from ..samplers.hmc import flatten_wb
 
             warm_mm = carry.da_t < burn_f
-            flat = jax.vmap(flatten_wb)(res.weights, res.biases)  # [G, P]
+            flat = jax.vmap(flatten_wb)(params.weights, params.biases)  # [G, P]
             mean_new, m2_new = _welford(mm_mean, mm_m2, flat, carry.da_t + 1.0)
             mm_mean = jnp.where(warm_mm, mean_new, mm_mean)
             mm_m2 = jnp.where(warm_mm, m2_new, mm_m2)
@@ -730,7 +903,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         wp0 = tuple(a[0] for a in wp)
         lpd_out = D.joint_output_term(
             model_type, w0, wp0, hyper,
-            reg_all - D.summary_stat(model_type, w0[-1]), n_out_tot,
+            reg_all - D.summary_stat(model_type, w0[-1]),
+            jnp.sum(ss_z * out_w_counts) if ss_on else n_out_tot,
         )
         lpd_rss = D.joint_rss_term(
             err_prec, jnp.sum(residual**2), hyper,
@@ -744,13 +918,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         counts = carry.counts
         for code in range(3):
-            counts = counts.at[code].add(jnp.sum(res.code == code))
+            counts = counts.at[code].add(jnp.sum((res.code == code) & inc))
 
         da_log_eps, da_log_eps_bar, da_h_bar = (
             carry.da_log_eps, carry.da_log_eps_bar, carry.da_h_bar
         )
         if adaptive:
-            warm = carry.da_t < cfg.burn_in
+            warm = (carry.da_t < cfg.burn_in) & inc
             t = carry.da_t + 1.0
             h_new, le_new, leb_new = _da_update(
                 cfg, t, carry.da_h_bar, carry.da_log_eps_bar,
@@ -776,7 +950,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             mm_m2=mm_m2,
             beta=carry.beta,
             tl_avg=tl_avg,
+            ss_z=ss_z,
+            ss_pi=carry.ss_pi,
+            ss_pip=carry.ss_pip,
         )
+        if ss_on:
+            carry = ss_sweep_end(carry, k_pi)
         return carry, finish(carry, trajs)
 
     # ------------------------------------------------------------- hybrid
@@ -789,15 +968,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         B = cfg.block_size if cfg.block_size > 0 else default_block_size(G)
         assert G % B == 0, f"block_size {B} must divide num_branches {G}"
         R = G // B
-        key, k_perm = jax.random.split(carry.key)
+        key, k_perm, k_pi = jax.random.split(carry.key, 3)
         carry = carry._replace(key=key)
         perm = jax.random.permutation(k_perm, G).reshape(R, B)
 
         def block_update(c: TrainCarry, ixs):
             state, residual = c.state, c.residual
             params, precisions = state.params, state.precisions
-            key, k_e, k_loc, k_out, k_hmc, k_bias, k_len = jax.random.split(
-                c.key, 7
+            (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior) = (
+                jax.random.split(c.key, 9)
             )
 
             err_prec = precisions.error
@@ -833,8 +1012,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     for l in range(L)
                 )
                 bp = tuple(bp[l].at[ixs].set(new_bp[l]) for l in range(L - 1))
+                n_out_gibbs = (
+                    jnp.sum(c.ss_z * out_w_counts) if ss_on else n_out_tot
+                )
                 lam_out = _gibbs_output_precision(
-                    k_out, model_type, _reg_all(model_type, params), n_out_tot, hyper
+                    k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
                 )
                 wp = tuple(
                     jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
@@ -848,6 +1030,23 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 w_b, b_b, x_b
             )  # [B, n]
             targets = residual[None, :] + preds
+
+            ss_z = c.ss_z
+            if ss_on:
+                # collapsed conjugate (z, w_out) move first; HMC applies to
+                # included branches only (see the sequential path)
+                A_blk = jax.vmap(
+                    lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                )(w_b, b_b, x_b)  # [B, n, s_pad]
+                ss_keys = jax.random.split(k_ss, B)
+                z_blk, w_out_new, _ = jax.vmap(
+                    lambda k, A, t, lo, m: _spike_slab_update(
+                        k, A, t, err_hmc, lo, c.ss_pi, m
+                    )
+                )(ss_keys, A_blk, targets, wp[-1][ixs].reshape(B),
+                  masks_w[-1][ixs])
+                w_b = w_b[:-1] + (w_out_new,)
+                ss_z = ss_z.at[ixs].set(z_blk)
 
             if adaptive:
                 warm = c.da_t < cfg.burn_in
@@ -923,19 +1122,41 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     traj_lens,
                 )
                 res = out[0] if record_traj else out
+            res_weights, res_biases, y_pred_new = (
+                res.weights, res.biases, res.y_pred
+            )
+            inc = jnp.ones(B, bool)
+            if ss_on:
+                inc = z_blk > 0.0
+                pks = jax.random.split(k_prior, L - 1)
+                sel = lambda a, b_: jnp.where(
+                    inc.reshape((B,) + (1,) * (a.ndim - 1)), a, b_
+                )
+                res_weights = tuple(
+                    sel(
+                        res.weights[l],
+                        jax.random.normal(pks[l], w_b[l].shape)
+                        / jnp.sqrt(wp_b[l]) * masks_w[l][ixs],
+                    )
+                    for l in range(L - 1)
+                ) + (w_b[-1],)
+                res_biases = tuple(
+                    sel(res.biases[l], b_b[l]) for l in range(L - 1)
+                )
+                y_pred_new = jnp.where(inc[:, None], res.y_pred, 0.0)
             params = StackedParams(
-                tuple(params.weights[l].at[ixs].set(res.weights[l]) for l in range(L)),
-                tuple(params.biases[l].at[ixs].set(res.biases[l]) for l in range(L - 1)),
+                tuple(params.weights[l].at[ixs].set(res_weights[l]) for l in range(L)),
+                tuple(params.biases[l].at[ixs].set(res_biases[l]) for l in range(L - 1)),
             )
             precisions = StackedPrecisions(wp, bp, err_prec)
-            residual = residual + jnp.sum(preds - res.y_pred, axis=0)
+            residual = residual + jnp.sum(preds - y_pred_new, axis=0)
 
             tl_avg = c.tl_avg
             if uturn_adapt:
                 tl_avg = tl_avg.at[ixs].set(
                     _tl_update(
                         tl_avg[ixs], res.uturn_step, traj_lens, res.code,
-                        c.da_t < burn_f, L_int,
+                        (c.da_t < burn_f) & inc, L_int,
                     )
                 )
 
@@ -944,7 +1165,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 from ..samplers.hmc import flatten_wb
 
                 warm_mm = c.da_t < burn_f
-                flat = jax.vmap(flatten_wb)(res.weights, res.biases)  # [B, P]
+                flat = jax.vmap(flatten_wb)(res_weights, res_biases)  # [B, P]
                 mean_new, m2_new = _welford(
                     mm_mean[ixs], mm_m2[ixs], flat, c.da_t + 1.0
                 )
@@ -970,7 +1191,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             wp0 = tuple(a[0] for a in wp)
             lpd_out = D.joint_output_term(
                 model_type, w0, wp0, hyper,
-                reg_all - D.summary_stat(model_type, w0[-1]), n_out_tot,
+                reg_all - D.summary_stat(model_type, w0[-1]),
+                jnp.sum(ss_z * out_w_counts) if ss_on else n_out_tot,
             )
             lpd_rss = D.joint_rss_term(
                 err_prec, jnp.sum(residual**2), hyper,
@@ -984,13 +1206,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
             counts = c.counts
             for code in range(3):
-                counts = counts.at[code].add(jnp.sum(res.code == code))
+                counts = counts.at[code].add(jnp.sum((res.code == code) & inc))
 
             da_log_eps, da_log_eps_bar, da_h_bar = (
                 c.da_log_eps, c.da_log_eps_bar, c.da_h_bar
             )
             if adaptive:
-                warm = c.da_t < cfg.burn_in
+                warm = (c.da_t < cfg.burn_in) & inc
                 t = c.da_t + 1.0
                 h_new, le_new, leb_new = _da_update(
                     cfg, t, c.da_h_bar[ixs], c.da_log_eps_bar[ixs],
@@ -1022,10 +1244,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 mm_m2=mm_m2,
                 beta=c.beta,
                 tl_avg=tl_avg,
+                ss_z=ss_z,
+                ss_pi=c.ss_pi,
+                ss_pip=c.ss_pip,
             ), None
 
         carry, _ = jax.lax.scan(block_update, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
+        if ss_on:
+            carry = ss_sweep_end(carry, k_pi)
         return carry, finish(carry)
 
     if cfg.gradient_descent_joint and cfg.update_mode != "sequential":
@@ -1231,6 +1458,7 @@ class Net:
         self, X, y, key, step_size_factor: float = 1.0,
         mass_adaptation: bool = False,
         beta=1.0,
+        ss_pi: float = 0.5,
     ) -> TrainCarry:
         """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171).
 
@@ -1292,6 +1520,10 @@ class Net:
             beta=jnp.asarray(beta, jnp.float32),
             # 0.0 sentinel = no u-turn length adapted yet (full length used)
             tl_avg=jnp.zeros(G),
+            # spike-and-slab: start fully included; π from cfg.ss_pi
+            ss_z=jnp.ones(G),
+            ss_pi=jnp.asarray(ss_pi, jnp.float32),
+            ss_pip=jnp.zeros(G),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

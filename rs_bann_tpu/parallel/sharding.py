@@ -100,6 +100,9 @@ def _carry_specs(
         mm_m2=P(c, b, None) if chains else P(b, None),
         beta=P(c) if chains else P(),
         tl_avg=P(c, b) if chains else P(b),
+        ss_z=P(c, b) if chains else P(b),
+        ss_pi=P(c) if chains else P(),
+        ss_pip=P(c, b) if chains else P(b),
     )
 
 

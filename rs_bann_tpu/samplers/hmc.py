@@ -175,16 +175,23 @@ def unflatten_wb(vec, like_w, like_b):
     return tuple(ws), tuple(bs)
 
 
-def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
+def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=False):
     """Build the jittable marginal HMC transition for one branch.
 
     Returned signature:
       hmc(key, weights, biases, w_precisions, b_precisions, error_precision,
-          x, y, masks_w, masks_b, n_params[, step_factor, mass_w, mass_b])
+          x, y, masks_w, masks_b, n_params[, step_factor, mass_w, mass_b,
+          traj_len])
         -> HMCResult
     (-> (HMCResult, traj dict) when cfg.trajectories is set; traj holds
     per-leapfrog-step padded-flat params/ldg and the Hamiltonian series,
     trajectory.rs:4-43.)
+
+    ``freeze_output`` pins the output-layer weights during the trajectory
+    (zero step size AND zero momentum — the leapfrog provably leaves them
+    untouched and they contribute no kinetic energy). Used by the
+    spike-and-slab sweep, whose collapsed conjugate Gibbs move owns that
+    layer.
     """
     L = cfg.hmc_integration_length
     max_err = cfg.hmc_max_hamiltonian_error
@@ -257,6 +264,9 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg):
             k_eps, model_type, cfg, weights, biases, w_precisions, b_precisions,
             n_params, step_factor, mass_w, mass_b,
         )
+        if freeze_output:
+            eps_w = eps_w[:-1] + (jnp.zeros_like(eps_w[-1]),)
+            masks_w = masks_w[:-1] + (jnp.zeros_like(masks_w[-1]),)
         mkeys = jax.random.split(k_mom, len(weights) + len(biases))
         p_w = tuple(
             jax.random.normal(k, w.shape) * m

@@ -59,6 +59,23 @@ class MCMCCfg:
     # back on themselves, raising effective samples per sweep. The compiled
     # scan always runs L steps (static shapes); truncation freezes the carry,
     # so pick hmc_integration_length as an upper bound. Marginal HMC only.
+    spike_slab: bool = False  # TPU extension: spike-and-slab branch
+    # selection. The branch output layer is linear-Gaussian given the
+    # summary activations A_g, so a per-branch inclusion indicator z_g has
+    # an EXACT collapsed conjugate Gibbs move: w_out is integrated out for
+    # the Bayes factor (spike δ₀ vs slab N(0, 1/λ_out)), z_g drawn, and
+    # w_out redrawn from its conditional Gaussian. HMC moves the hidden
+    # layers with the output layer frozen; excluded branches (w_out = 0)
+    # sample their hidden weights from the prior. Posterior inclusion
+    # probabilities per branch accumulate post-burn-in (written to
+    # <outpath>/inclusion_probs). Marginal HMC + Gaussian slab only
+    # (ridge/std_normal models; lasso's Laplace output prior is not
+    # conjugate).
+    ss_pi: float = 0.5  # prior inclusion probability (initial value when
+    # ss_update_pi, else fixed)
+    ss_update_pi: bool = True  # Gibbs-update π under a Beta(1,1) hyperprior:
+    # π | z ~ Beta(1 + Σz, 1 + G − Σz) once per sweep — the sparsity level
+    # adapts to the data
     tempering: bool = False  # TPU extension: parallel tempering (replica
     # exchange) across the chain axis. Chain slot c targets the tempered
     # posterior p(θ)·L(θ)^β_c with a geometric ladder β_c from 1 down to
@@ -86,6 +103,13 @@ class MCMCCfg:
                 or self.gradient_descent
                 or self.gradient_descent_joint
             ), "tempering applies to marginal HMC only"
+        if self.spike_slab:
+            assert not (
+                self.joint_hmc
+                or self.gradient_descent
+                or self.gradient_descent_joint
+            ), "spike_slab applies to marginal HMC only"
+            assert 0.0 < self.ss_pi < 1.0, "ss_pi must be in (0, 1)"
         assert self.hmc_traj_length_mode in ("fixed", "jittered", "uturn")
         if self.hmc_traj_length_mode != "fixed":
             assert not (

@@ -399,7 +399,7 @@ def train(
         # static mode here and reset the counters after the warm start
         gd_cfg = _dc.replace(
             cfg, gradient_descent=True, joint_hmc=False, trajectories=False,
-            mass_adaptation=False, tempering=False,
+            mass_adaptation=False, tempering=False, spike_slab=False,
             hmc_traj_length_mode="fixed",
             hmc_step_size_mode="izmailov",
             hmc_step_size_factor=min(cfg.hmc_step_size_factor, 1e-3),
@@ -411,7 +411,8 @@ def train(
         sweep_jit = jax.jit(sweep)
         key = jax.random.key(cfg.seed)
         carry = net.init_carry(
-            X, y, key, cfg.hmc_step_size_factor, cfg.mass_adaptation
+            X, y, key, cfg.hmc_step_size_factor, cfg.mass_adaptation,
+            ss_pi=cfg.ss_pi,
         )
     else:
         # chains run sequentially inside one compiled program (lax.map):
@@ -429,7 +430,8 @@ def train(
         )
         carry = jax.vmap(
             lambda k, b: net.init_carry(
-                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation, b
+                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation, b,
+                ss_pi=cfg.ss_pi,
             )
         )(keys, betas)
 
@@ -714,6 +716,20 @@ def train(
     if traj_f is not None:
         traj_f.close()
     stats.to_file(cfg.outpath)
+
+    if cfg.spike_slab:
+        # posterior inclusion probabilities (post-burn-in mean of z) from
+        # the cold / first chain
+        pip = carry.ss_pip if C == 1 else carry.ss_pip[0]
+        pi = carry.ss_pi if C == 1 else carry.ss_pi[0]
+        with open(os.path.join(cfg.outpath, "inclusion_probs"), "w") as f:
+            json.dump(
+                {
+                    "pip": np.asarray(pip).tolist(),
+                    "pi": float(np.asarray(pi)),
+                },
+                f,
+            )
 
     net.state = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
     return net, stats
