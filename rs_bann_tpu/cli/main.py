@@ -115,6 +115,10 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    "a Beta(1,1) hyperprior unless --ss-fixed-pi)")
     p.add_argument("--ss-fixed-pi", action="store_true",
                    help="keep the inclusion probability fixed at --ss-pi")
+    p.add_argument("--ss-warmup", type=int, default=-1,
+                   help="force all branches included for the first N sweeps "
+                   "(-1 = half the burn-in) so summary projections align "
+                   "with their signal before selection starts")
     p.add_argument("--tempering", action="store_true",
                    help="parallel tempering over the chain axis (slot 0 cold; "
                    "needs --num-chains >= 2; saved samples = cold chain only)")
@@ -203,6 +207,7 @@ def _mcmc_cfg_from_args(args, outpath: str):
         spike_slab=args.spike_slab,
         ss_pi=args.ss_pi,
         ss_update_pi=not args.ss_fixed_pi,
+        ss_warmup=args.ss_warmup,
     )
 
 

@@ -163,7 +163,8 @@ def _tl_update(tl, uturn_step, drawn, code, warm, L: int):
     return jnp.where(ok, new, tl)
 
 
-def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask):
+def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask,
+                       force_include=False):
     """Collapsed conjugate Gibbs move for one branch's (z, w_out).
 
     Given the summary activations A [n, s_pad] and the branch target
@@ -194,6 +195,9 @@ def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask):
     log_bf = 0.5 * (s_pad * jnp.log(lam_out) - logdet) + 0.5 * jnp.dot(u, u)
     logit = jnp.log(pi) - jnp.log1p(-pi) + log_bf
     z = jax.random.bernoulli(k_z, jax.nn.sigmoid(logit)).astype(jnp.float32)
+    # ss_warmup: keep the branch in (the w draw below is then an ordinary
+    # conjugate Gibbs move on the output layer, unconditionally valid)
+    z = jnp.where(force_include, 1.0, z)
     mu = jax.scipy.linalg.solve_triangular(L.T, u, lower=False)
     xi = jax.random.normal(k_w, (s_pad,))
     w = mu + jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
@@ -473,6 +477,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             z_g, w_out_new, _ = _spike_slab_update(
                 k_ss, acts0[-2], target, err_hmc, wp_g[-1].reshape(()),
                 carry.ss_pi, mw_g[-1],
+                force_include=carry.da_t < float(cfg.ss_warmup),
             )
             w_g = w_g[:-1] + (w_out_new,)
             ss_z = ss_z.at[g].set(z_g)
@@ -654,7 +659,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         if cfg.ss_update_pi:
             nz = jnp.sum(carry.ss_z)
             pi = jnp.clip(
-                jax.random.beta(k_pi, 1.0 + nz, 1.0 + G - nz), 1e-4, 1.0 - 1e-4
+                jax.random.beta(k_pi, 1.0 + nz, 1.0 + G - nz), 0.01, 0.99
             )
         post_k = carry.da_t - burn_f
         pip = jnp.where(
@@ -758,9 +763,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 lambda w, b, x: D.forward(act, w, b, x)[1][-2]
             )(params.weights, params.biases, X)  # [G, n, s_pad]
             ss_keys = jax.random.split(k_ss, G)
+            ss_force = carry.da_t < float(cfg.ss_warmup)
             ss_z, w_out_new, _ = jax.vmap(
                 lambda k, A, t, lo, m: _spike_slab_update(
-                    k, A, t, err_hmc, lo, carry.ss_pi, m
+                    k, A, t, err_hmc, lo, carry.ss_pi, m,
+                    force_include=ss_force,
                 )
             )(ss_keys, A_all, targets, wp[-1].reshape(G), masks_w[-1])
             params = StackedParams(
@@ -1039,9 +1046,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     lambda w, b, x: D.forward(act, w, b, x)[1][-2]
                 )(w_b, b_b, x_b)  # [B, n, s_pad]
                 ss_keys = jax.random.split(k_ss, B)
+                ss_force = c.da_t < float(cfg.ss_warmup)
                 z_blk, w_out_new, _ = jax.vmap(
                     lambda k, A, t, lo, m: _spike_slab_update(
-                        k, A, t, err_hmc, lo, c.ss_pi, m
+                        k, A, t, err_hmc, lo, c.ss_pi, m,
+                        force_include=ss_force,
                     )
                 )(ss_keys, A_blk, targets, wp[-1][ixs].reshape(B),
                   masks_w[-1][ixs])

