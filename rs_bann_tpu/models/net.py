@@ -458,7 +458,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         wp_g = tuple(a[g] for a in wp)
         bp_g = tuple(a[g] for a in bp)
 
-        pred_old = D.predict(act, w_g, b_g, x_g)
+        if ss_on:
+            # one forward serves both the old prediction and the summary
+            # activations A for the collapsed move
+            _, acts0 = D.forward(act, w_g, b_g, x_g)
+            pred_old = acts0[-1][:, 0]
+        else:
+            pred_old = D.predict(act, w_g, b_g, x_g)
         target = residual + pred_old
 
         ss_z = carry.ss_z
@@ -473,7 +479,6 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             # identity kernel: their marginal-mode prior is improper-flat
             # (branch_sampler.rs:104-112) and only the likelihood anchors
             # them, so they must not random-walk while excluded.
-            _, acts0 = D.forward(act, w_g, b_g, x_g)
             z_g, w_out_new, _ = _spike_slab_update(
                 k_ss, acts0[-2], target, err_hmc, wp_g[-1].reshape(()),
                 carry.ss_pi, mw_g[-1],
@@ -749,19 +754,23 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
 
         # per-branch predictions from the snapshot; frozen residual base
-        preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
-            params.weights, params.biases, X
-        )  # [G, n]
-        targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
-
         ss_z = carry.ss_z
         if ss_on:
-            # collapsed conjugate (z, w_out) move from the snapshot params
-            # (see the sequential path for the full rationale); HMC below
-            # only applies to included branches
+            # one forward serves both the snapshot predictions and the
+            # summary activations A of the collapsed (z, w_out) move (see
+            # the sequential path for the rationale); HMC below only
+            # applies to included branches
             A_all = jax.vmap(
                 lambda w, b, x: D.forward(act, w, b, x)[1][-2]
             )(params.weights, params.biases, X)  # [G, n, s_pad]
+            preds = jnp.einsum("gns,gso->gn", A_all, params.weights[-1])
+        else:
+            preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
+                params.weights, params.biases, X
+            )  # [G, n]
+        targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
+
+        if ss_on:
             ss_keys = jax.random.split(k_ss, G)
             ss_force = carry.da_t < float(cfg.ss_warmup)
             ss_z, w_out_new, _ = jax.vmap(
@@ -1033,18 +1042,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             wp_b = tuple(a[ixs] for a in wp)
             bp_b = tuple(a[ixs] for a in bp)
             x_b = X[ixs]
-            preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
-                w_b, b_b, x_b
-            )  # [B, n]
-            targets = residual[None, :] + preds
-
             ss_z = c.ss_z
             if ss_on:
-                # collapsed conjugate (z, w_out) move first; HMC applies to
-                # included branches only (see the sequential path)
+                # one forward serves both the block predictions and the
+                # summary activations A of the collapsed move; HMC applies
+                # to included branches only (see the sequential path)
                 A_blk = jax.vmap(
                     lambda w, b, x: D.forward(act, w, b, x)[1][-2]
                 )(w_b, b_b, x_b)  # [B, n, s_pad]
+                preds = jnp.einsum("gns,gso->gn", A_blk, w_b[-1])
+            else:
+                preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
+                    w_b, b_b, x_b
+                )  # [B, n]
+            targets = residual[None, :] + preds
+
+            if ss_on:
                 ss_keys = jax.random.split(k_ss, B)
                 ss_force = c.da_t < float(cfg.ss_warmup)
                 z_blk, w_out_new, _ = jax.vmap(

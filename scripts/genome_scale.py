@@ -114,6 +114,10 @@ def main():
     ap.add_argument("--seed-init", type=int, default=1)
     ap.add_argument("--seed-mcmc", type=int, default=3)
     ap.add_argument("--blup", action="store_true", help="also run ridge BLUP")
+    ap.add_argument("--packed", action="store_true",
+                    help="keep train genotypes 2-bit packed in HBM (fused "
+                    "Pallas decode; 16x less device memory - the large-n "
+                    "UKB-scale path)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--outdir", default=None, help="keep run artifacts here")
     ap.add_argument("--json-out", default=None, help="append result line here")
@@ -153,6 +157,8 @@ def main():
         "step_size_mode": args.step_size_mode,
         "mass_adaptation": args.mass_adaptation,
         "spike_slab": args.spike_slab,
+        "packed": args.packed,
+        "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
         "causal_branches": args.causal_branches,
         "seeds": [args.seed_truth, args.seed_init, args.seed_mcmc],
@@ -172,7 +178,34 @@ def main():
     )
     cols_tr = [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
     cols_te = [X_te[:, g * m:(g + 1) * m] for g in range(G)]
-    dtr = stack_standardized(arch, cols_tr, y_tr)
+    if args.packed:
+        # 2-bit packed HBM-resident train genotypes; standardization folds
+        # into the fused decode kernel (scale = 1/sigma, shift = mu)
+        import jax.numpy as jnp
+
+        from rs_bann_tpu.models.density import PackedX
+        from rs_bann_tpu.models.data import StackedData
+        from rs_bann_tpu.ops.packed_matmul import GBYTES, GROUP, pack_strided
+
+        n_tr = X_tr.shape[0]
+        B = -(-n_tr // GROUP) * GBYTES
+        by = np.empty((G, arch.m_pad, B), np.uint8)
+        scale = np.zeros((G, arch.m_pad), np.float32)
+        shift = np.zeros((G, arch.m_pad), np.float32)
+        raw = np.zeros((arch.m_pad, n_tr), np.float32)
+        for g in range(G):
+            raw[:] = 0.0
+            raw[: arch.m[g]] = cols_tr[g].T
+            by[g] = pack_strided(raw)
+            sd_g = cols_tr[g].std(0)
+            scale[g, : arch.m[g]] = np.where(sd_g > 0, 1.0 / np.where(sd_g > 0, sd_g, 1.0), 0.0)
+            shift[g, : arch.m[g]] = cols_tr[g].mean(0)
+        dtr = StackedData(
+            PackedX(jnp.asarray(by), jnp.asarray(scale), jnp.asarray(shift), n_tr),
+            jnp.asarray(y_tr),
+        )
+    else:
+        dtr = stack_standardized(arch, cols_tr, y_tr)
     # test matrices standardized with TRAIN moments (bed.rs:304-323 contract)
     mu = [c.mean(0) for c in cols_tr]
     sd = [np.where(c.std(0) == 0, 1, c.std(0)) for c in cols_tr]
