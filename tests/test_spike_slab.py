@@ -207,3 +207,27 @@ def test_train_writes_inclusion_probs(tmp_path):
     assert len(rec["pip"]) == 4
     assert 0.0 < rec["pi"] < 1.0
     assert rec["pip"][0] > 0.5  # causal branch present
+
+
+def test_multichain_and_feature_combos(tmp_path):
+    """SS composes with multi-chain training, tempering, mass adaptation and
+    dynamic trajectory lengths (the full extension stack in one run);
+    inclusion_probs comes from the cold chain."""
+    from rs_bann_tpu.models.data import StackedData
+    from rs_bann_tpu.train import train
+
+    arch, X, y = _signal_data(G=4, n=300)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=24, burn_in=12, hmc_integration_length=8,
+        hmc_step_size_mode="dual_averaging", spike_slab=True, ss_warmup=4,
+        hmc_traj_length_mode="uturn", mass_adaptation=True,
+        tempering=True, num_chains=2, max_temperature=2.0,
+        update_mode="parallel", outpath=str(tmp_path), seed=0,
+    )
+    net, stats = train(net, StackedData(X, y), cfg, verbose=False)
+    rec = json.load(open(tmp_path / "inclusion_probs"))
+    assert len(rec["pip"]) == 4
+    assert all(np.isfinite(rec["pip"]))
+    assert np.isfinite(stats.mse_train[-1])
