@@ -646,6 +646,11 @@ def cmd_analyze(args):
             vis.plot_training_stats(
                 args.rundir, save_to=_os.path.join(args.plots, "training_stats.png")
             )
+            if _os.path.exists(ip_path):
+                vis.plot_inclusion_probs(
+                    args.rundir,
+                    save_to=_os.path.join(args.plots, "inclusion_probs.png"),
+                )
             if _os.path.exists(_os.path.join(args.rundir, "trace")) and args.sim:
                 vis.plot_posterior_means(
                     vis.load_trace(args.rundir), vis.load_true_params(args.sim),

@@ -170,6 +170,34 @@ def plot_training_stats(outdir, save_to=None):
     return fig
 
 
+def plot_inclusion_probs(rundir, save_to=None):
+    """Bar chart of per-branch posterior inclusion probabilities
+    (<rundir>/inclusion_probs, written by spike-and-slab training runs)."""
+    import json
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rec = json.load(open(os.path.join(rundir, "inclusion_probs")))
+    pip = np.asarray(rec["pip"])
+    fig, ax = plt.subplots(figsize=(max(6, 0.12 * len(pip)), 3.5))
+    ax.bar(np.arange(len(pip)), pip, width=0.9)
+    ax.axhline(0.5, ls="--", lw=0.8, color="gray")
+    ax.axhline(rec["pi"], ls=":", lw=0.8, color="tab:red",
+               label=f"pi = {rec['pi']:.2f}")
+    ax.set_xlabel("branch (SNP group)")
+    ax.set_ylabel("posterior inclusion probability")
+    ax.set_ylim(0, 1.02)
+    ax.legend()
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
 def plot_posterior_means(trace, true_params, branch_ix=0, burn_in=0, save_to=None):
     import matplotlib
 
