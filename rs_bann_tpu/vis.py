@@ -198,6 +198,62 @@ def plot_inclusion_probs(rundir, save_to=None):
     return fig
 
 
+def plot_trajectory(outdir, record_ix=0, save_to=None):
+    """One HMC trajectory record: the Hamiltonian series and per-parameter
+    leapfrog paths (py-vis/vis.py trajectory plots; trajectory.rs:4-43)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rec = load_trajectories(outdir)[record_ix]
+    params = np.asarray(rec["params"])  # [L, P]
+    ham = np.asarray(rec["hamiltonian"])  # [L+1]
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    axes[0].plot(ham, marker=".")
+    axes[0].set_xlabel("leapfrog step")
+    axes[0].set_ylabel("-H (log density - kinetic)")
+    axes[0].set_title(f"branch {rec.get('branch_ix', '?')}")
+    axes[1].plot(params, lw=0.8)
+    axes[1].set_xlabel("leapfrog step")
+    axes[1].set_ylabel("parameter value")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def plot_grad_check(outdir, save_to=None):
+    """Analytic vs numerical log-density gradients across all trajectory
+    records (py-vis/vis.py gradient-check diff plots; requires a run with
+    --num-grad-traj)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    recs = load_trajectories(outdir)
+    diffs = []
+    for rec in recs:
+        if not rec.get("num_ldg"):
+            continue
+        a = np.asarray(rec["ldg"])
+        n = np.asarray(rec["num_ldg"])
+        diffs.append(np.abs(a - n).max(axis=1))  # per-step max |diff|
+    if not diffs:
+        raise ValueError("no num_ldg in trajectories; run with --num-grad-traj")
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for d in diffs:
+        ax.plot(d, lw=0.7, alpha=0.6)
+    ax.set_yscale("log")
+    ax.set_xlabel("leapfrog step")
+    ax.set_ylabel("max |analytic - numerical| gradient")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
 def plot_posterior_means(trace, true_params, branch_ix=0, burn_in=0, save_to=None):
     import matplotlib
 

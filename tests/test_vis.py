@@ -78,3 +78,38 @@ def test_expected_r2_formulas():
     assert vis.expected_r2(20, 1000, 0.8) == pytest.approx(40 / 41)
     w = vis.expected_r2(20, 1000, 0.8, formula="wray")
     assert len(w) == 2
+
+
+def test_trajectory_and_grad_check_plots(tmp_path):
+    """plot_trajectory / plot_grad_check render from a --num-grad-traj run
+    (py-vis/vis.py parity: trajectory + gradient-check diff plots)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rs_bann_tpu.models import density as D
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.data import StackedData
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+    from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+    from rs_bann_tpu.train import train
+    from rs_bann_tpu.vis import plot_grad_check, plot_trajectory
+
+    arch = NetArch.uniform(2, 4, 2, 0, 2)
+    rng = np.random.default_rng(0)
+    X = np.zeros((2, 40, arch.m_pad), np.float32)
+    X[:, :, :4] = rng.standard_normal((2, 40, 4), dtype=np.float32)
+    y = rng.standard_normal(40).astype(np.float32)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=2, burn_in=1, hmc_integration_length=4,
+        trajectories=True, num_grad_traj=True,
+        outpath=str(tmp_path), seed=0,
+    )
+    train(net, StackedData(jnp.asarray(X), jnp.asarray(y)), cfg, verbose=False)
+    fig = plot_trajectory(str(tmp_path), 0, save_to=str(tmp_path / "traj.png"))
+    assert (tmp_path / "traj.png").exists()
+    fig2 = plot_grad_check(str(tmp_path), save_to=str(tmp_path / "gc.png"))
+    assert (tmp_path / "gc.png").exists()
