@@ -1316,12 +1316,31 @@ class Net:
         self.state = state
 
     # ------------------------------------------------------------- predict
+    def _n_of(self, X) -> int:
+        return X.n if isinstance(X, D.PackedX) else X.shape[1]
+
+    def _branch_map(self, f, X, *per_branch_trees):
+        """Map ``f(x_g, *slices)`` over branches: vmap when the stacked
+        per-branch activations fit comfortably in HBM, else a sequential
+        ``lax.map`` so only ONE branch's activations materialize at a time
+        (vmapping all G branches over UKB-scale n allocates
+        G x n x width f32 — measured 23.6 GB at G=100, n=460k)."""
+        n = self._n_of(X)
+        width = max(
+            self.arch.layer_out_pad(l) for l in range(self.arch.num_layers)
+        )
+        stacked_bytes = 4 * self.arch.num_branches * n * width
+        if stacked_bytes <= 2_000_000_000:
+            return jax.vmap(f)(X, *per_branch_trees)
+        return jax.lax.map(lambda args: f(*args), (X, *per_branch_trees))
+
     def predict(self, X, state: Optional[NetState] = None) -> jax.Array:
         """y_hat [n] = bias + sum of branch predictions (net.rs:545-559)."""
         state = state if state is not None else self.state
         act = self.arch.activation
-        preds = jax.vmap(lambda w, b, x: D.predict(act, w, b, x))(
-            state.params.weights, state.params.biases, X
+        preds = self._branch_map(
+            lambda x, w, b: D.predict(act, w, b, x),
+            X, state.params.weights, state.params.biases,
         )
         return state.output_bias + jnp.sum(preds, axis=0)
 
@@ -1334,11 +1353,13 @@ class Net:
         state = state if state is not None else self.state
         act = self.arch.activation
 
-        def one(w, b, x):
+        def one(x, w, b):
             r = D.predict(act, w, b, x) - y
             return 1.0 - jnp.sum(r * r) / jnp.sum(y * y)
 
-        return jax.vmap(one)(state.params.weights, state.params.biases, X)
+        return self._branch_map(
+            one, X, state.params.weights, state.params.biases
+        )
 
     def activations(self, X, state: Optional[NetState] = None):
         """Per-branch per-layer activations (net.rs:509-518)."""
