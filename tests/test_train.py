@@ -307,3 +307,55 @@ def test_gd_warmup(tmp_path):
     # the warm start should land sampling at an already-low training mse
     assert stats.mse_train[0] < np.var(np.asarray(dtr.y))
     assert stats.num_samples == 5  # warmup sweeps are not counted as samples
+
+
+def test_branch_map_sequential_path_matches_vmap():
+    """predict/branch_r2s fall back to lax.map over branches for huge n
+    (UKB-scale OOM guard); both paths must agree (up to f32 summation
+    order) for dense and packed inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rs_bann_tpu.models import density as D
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.density import PackedX
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+    from rs_bann_tpu.ops.packed_matmul import pack_strided
+
+    arch = NetArch.uniform(3, 8, 4, 1, 4)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(
+        np.pad(
+            rng.standard_normal((3, 50, 8)).astype(np.float32),
+            ((0, 0), (0, 0), (0, arch.m_pad - 8)),
+        )
+    )
+    y = jnp.asarray(rng.standard_normal(50).astype(np.float32))
+
+    def forced(self, f, X_, *trees):
+        return jax.lax.map(lambda args: f(*args), (X_, *trees))
+
+    p_vmap = np.asarray(net.predict(X))
+    r_vmap = np.asarray(net.branch_r2s(X, y))
+    orig = Net._branch_map
+    try:
+        Net._branch_map = forced
+        np.testing.assert_allclose(np.asarray(net.predict(X)), p_vmap, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(net.branch_r2s(X, y)), r_vmap, atol=1e-6)
+    finally:
+        Net._branch_map = orig
+
+    Xg = rng.binomial(2, 0.3, size=(3, 50, arch.m_pad)).astype(np.float32)
+    by = np.stack([pack_strided(Xg[g].T) for g in range(3)])
+    sd = np.where(Xg.std(1) > 0, Xg.std(1), 1.0)
+    px = PackedX(jnp.asarray(by), jnp.asarray(1.0 / sd), jnp.asarray(Xg.mean(1)), 50)
+    p_packed = np.asarray(net.predict(px))
+    try:
+        Net._branch_map = forced
+        np.testing.assert_allclose(np.asarray(net.predict(px)), p_packed, atol=1e-5)
+    finally:
+        Net._branch_map = orig
