@@ -494,7 +494,11 @@ def cmd_predict(args):
     for path in _scan_models(args.model_path):
         net = Net.load(str(path))
         if X is None:
-            X = gen.to_stacked(net.arch).X
+            X = (
+                gen.to_packed(net.arch).X
+                if getattr(args, "packed_genotypes", False)
+                else gen.to_stacked(net.arch).X
+            )
         w.writerow(np.asarray(net.predict(X)).tolist())
 
 
@@ -768,6 +772,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("groups")
     g.add_argument("-m", "--model-path", default="./models")
     g.add_argument("--cpu", action="store_true")
+    g.add_argument(
+        "--packed-genotypes", action="store_true",
+        help="keep genotypes 2-bit packed in HBM (fused decode) — the only "
+        "form that fits UKB-scale cohorts on one chip",
+    )
     g.set_defaults(func=cmd_predict)
 
     def bpgm(g):
