@@ -223,6 +223,8 @@ class SweepStats(NamedTuple):
     # "params"/"ldg" [G, L, P_pad_flat], "hamiltonian" [G, L+1], optionally
     # "num_ldg", plus "perm" [G] (branch update order); () when disabled
     traj: object = ()
+    # branches currently included (spike-and-slab; = G otherwise)
+    n_incl: jax.Array = ()
 
 
 # --------------------------------------------------------------------------
@@ -682,6 +684,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             mse_train=jnp.sum(carry.residual**2) / n,
             lpd=carry.lpd_rss + carry.lpd_out + jnp.sum(carry.lpd_local),
             traj=traj,
+            n_incl=jnp.sum(carry.ss_z).astype(jnp.int32),
         )
 
     # ---------------------------------------------------------- sequential

@@ -670,6 +670,9 @@ def train(
             if stats.mse_test is not None:
                 msg += f" \t | mse(tst): {stats.mse_test[-1]:.4f}"
             msg += f" | lpd: {stats.lpd[-1]:.4f}"
+            if cfg.spike_slab:
+                ni = np.asarray(st_k.n_incl)
+                msg += f" | incl: {int(ni if ni.ndim == 0 else ni[0])}"
             if tempering and stats.pt_swaps_proposed:
                 msg += f" | pt_swap: {stats.pt_swap_rate():.2f}"
             log.info(msg)
