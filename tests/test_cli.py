@@ -81,6 +81,20 @@ def test_predict_csv(simdir, rundir):
     float(rows[0][0])
 
 
+def test_predict_packed_matches_dense(simdir, rundir):
+    dense = run_cli(
+        "predict", simdir / "test", simdir / "train.groups",
+        "-m", rundir / "models",
+    )
+    packed = run_cli(
+        "predict", simdir / "test", simdir / "train.groups",
+        "-m", rundir / "models", "--packed-genotypes",
+    )
+    a = np.array([[float(v) for v in r] for r in csv.reader(dense.strip().split("\n"))])
+    b = np.array([[float(v) for v in r] for r in csv.reader(packed.strip().split("\n"))])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_branch_r2(simdir, rundir):
     out = run_cli(
         "branch-r2", simdir / "test", simdir / "test.phen",
