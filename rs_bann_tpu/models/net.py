@@ -1329,8 +1329,13 @@ class Net:
         (vmapping all G branches over UKB-scale n allocates
         G x n x width f32 — measured 23.6 GB at G=100, n=460k)."""
         n = self._n_of(X)
+        # PHYSICAL bytes: the TPU (8, 128) tiled layout pads the minor dim
+        # to 128 lanes, so a [G, n, 8] activation stack occupies G*n*128*4
+        # bytes — 16x its logical size (measured: a 1.47 GB logical stack
+        # OOMed as a 23.6 GB allocation at n=460k)
         width = max(
-            self.arch.layer_out_pad(l) for l in range(self.arch.num_layers)
+            -(-self.arch.layer_out_pad(l) // 128) * 128
+            for l in range(self.arch.num_layers)
         )
         stacked_bytes = 4 * self.arch.num_branches * n * width
         if stacked_bytes <= 2_000_000_000:

@@ -180,7 +180,11 @@ def main():
     cols_te = [X_te[:, g * m:(g + 1) * m] for g in range(G)]
     if args.packed:
         # 2-bit packed HBM-resident train genotypes; standardization folds
-        # into the fused decode kernel (scale = 1/sigma, shift = mu)
+        # into the fused decode kernel (scale = 1/sigma, shift = mu). The
+        # host-side packing of UKB-scale matrices takes tens of minutes on
+        # this 2-vCPU box, so it is cached on disk keyed by the workload.
+        import hashlib
+
         import jax.numpy as jnp
 
         from rs_bann_tpu.models.density import PackedX
@@ -188,18 +192,30 @@ def main():
         from rs_bann_tpu.ops.packed_matmul import GBYTES, GROUP, pack_strided
 
         n_tr = X_tr.shape[0]
-        B = -(-n_tr // GROUP) * GBYTES
-        by = np.empty((G, arch.m_pad, B), np.uint8)
-        scale = np.zeros((G, arch.m_pad), np.float32)
-        shift = np.zeros((G, arch.m_pad), np.float32)
-        raw = np.zeros((arch.m_pad, n_tr), np.float32)
-        for g in range(G):
-            raw[:] = 0.0
-            raw[: arch.m[g]] = cols_tr[g].T
-            by[g] = pack_strided(raw)
-            sd_g = cols_tr[g].std(0)
-            scale[g, : arch.m[g]] = np.where(sd_g > 0, 1.0 / np.where(sd_g > 0, sd_g, 1.0), 0.0)
-            shift[g, : arch.m[g]] = cols_tr[g].mean(0)
+        key = hashlib.sha1(
+            f"{args.snps}:{args.branches}:{args.n_train}:{args.n_test}:"
+            f"{args.h2}:{args.causal_frac}:{args.causal_branches}:"
+            f"{args.seed_truth}".encode()
+        ).hexdigest()[:12]
+        cache = Path(f"/tmp/gscache_{key}.npz")
+        if cache.exists():
+            z = np.load(cache)
+            by, scale, shift = z["by"], z["scale"], z["shift"]
+            print(f"packed-genotype cache hit: {cache}", file=sys.stderr)
+        else:
+            B = -(-n_tr // GROUP) * GBYTES
+            by = np.empty((G, arch.m_pad, B), np.uint8)
+            scale = np.zeros((G, arch.m_pad), np.float32)
+            shift = np.zeros((G, arch.m_pad), np.float32)
+            raw = np.zeros((arch.m_pad, n_tr), np.float32)
+            for g in range(G):
+                raw[:] = 0.0
+                raw[: arch.m[g]] = cols_tr[g].T
+                by[g] = pack_strided(raw)
+                sd_g = cols_tr[g].std(0)
+                scale[g, : arch.m[g]] = np.where(sd_g > 0, 1.0 / np.where(sd_g > 0, sd_g, 1.0), 0.0)
+                shift[g, : arch.m[g]] = cols_tr[g].mean(0)
+            np.savez(cache, by=by, scale=scale, shift=shift)
         dtr = StackedData(
             PackedX(jnp.asarray(by), jnp.asarray(scale), jnp.asarray(shift), n_tr),
             jnp.asarray(y_tr),
