@@ -138,7 +138,30 @@ def main():
     from rs_bann_tpu.train import train
     from rs_bann_tpu.vis import posterior_predictions
 
-    X_tr, y_tr, X_te, y_te, g_te, realized_h2 = make_data(args)
+    # Full-input cache for the packed path: UKB-scale simulation + packing
+    # is ~45 min on this 2-vCPU box, entirely deterministic in these args.
+    cache = None
+    if args.packed:
+        import hashlib
+
+        key = hashlib.sha1(
+            f"v2:{args.snps}:{args.branches}:{args.n_train}:{args.n_test}:"
+            f"{args.h2}:{args.causal_frac}:{args.causal_branches}:"
+            f"{args.seed_truth}".encode()
+        ).hexdigest()[:12]
+        cache = Path(f"/tmp/gscache_{key}.npz")
+
+    if cache is not None and cache.exists():
+        z = np.load(cache)
+        by, scale, shift = z["by"], z["scale"], z["shift"]
+        y_tr, y_te, g_te = z["y_tr"], z["y_te"], z["g_te"]
+        Xte_std = z["Xte_std"]  # [G, n_te, m_pad], train moments
+        realized_h2 = float(z["realized_h2"])
+        X_tr = X_te = None
+        print(f"genome-scale cache hit: {cache}", file=sys.stderr, flush=True)
+    else:
+        X_tr, y_tr, X_te, y_te, g_te, realized_h2 = make_data(args)
+        Xte_std = None
     oracle = float(np.corrcoef(g_te, y_te)[0, 1] ** 2)
     print(f"realized h2 = {realized_h2:.3f}, oracle (true-g) test r2 = "
           f"{oracle:.3f}", file=sys.stderr, flush=True)
@@ -176,33 +199,19 @@ def main():
         G, m, args.hidden_width, args.depth, args.summary_width,
         activation=args.activation,
     )
-    cols_tr = [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
-    cols_te = [X_te[:, g * m:(g + 1) * m] for g in range(G)]
+    cols_tr = None if X_tr is None else [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
+    cols_te = None if X_te is None else [X_te[:, g * m:(g + 1) * m] for g in range(G)]
     if args.packed:
         # 2-bit packed HBM-resident train genotypes; standardization folds
-        # into the fused decode kernel (scale = 1/sigma, shift = mu). The
-        # host-side packing of UKB-scale matrices takes tens of minutes on
-        # this 2-vCPU box, so it is cached on disk keyed by the workload.
-        import hashlib
-
+        # into the fused decode kernel (scale = 1/sigma, shift = mu)
         import jax.numpy as jnp
 
         from rs_bann_tpu.models.density import PackedX
         from rs_bann_tpu.models.data import StackedData
         from rs_bann_tpu.ops.packed_matmul import GBYTES, GROUP, pack_strided
 
-        n_tr = X_tr.shape[0]
-        key = hashlib.sha1(
-            f"{args.snps}:{args.branches}:{args.n_train}:{args.n_test}:"
-            f"{args.h2}:{args.causal_frac}:{args.causal_branches}:"
-            f"{args.seed_truth}".encode()
-        ).hexdigest()[:12]
-        cache = Path(f"/tmp/gscache_{key}.npz")
-        if cache.exists():
-            z = np.load(cache)
-            by, scale, shift = z["by"], z["scale"], z["shift"]
-            print(f"packed-genotype cache hit: {cache}", file=sys.stderr)
-        else:
+        n_tr = args.n_train
+        if cols_tr is not None:  # cache miss: pack + build + persist
             B = -(-n_tr // GROUP) * GBYTES
             by = np.empty((G, arch.m_pad, B), np.uint8)
             scale = np.zeros((G, arch.m_pad), np.float32)
@@ -215,7 +224,16 @@ def main():
                 sd_g = cols_tr[g].std(0)
                 scale[g, : arch.m[g]] = np.where(sd_g > 0, 1.0 / np.where(sd_g > 0, sd_g, 1.0), 0.0)
                 shift[g, : arch.m[g]] = cols_tr[g].mean(0)
-            np.savez(cache, by=by, scale=scale, shift=shift)
+            Xte_std = np.zeros((G, args.n_test, arch.m_pad), np.float32)
+            for g in range(G):
+                mu_g = cols_tr[g].mean(0)
+                sd_g = np.where(cols_tr[g].std(0) == 0, 1, cols_tr[g].std(0))
+                Xte_std[g, :, :m] = (cols_te[g] - mu_g) / sd_g
+            np.savez(
+                cache, by=by, scale=scale, shift=shift, y_tr=y_tr,
+                y_te=y_te, g_te=g_te, Xte_std=Xte_std,
+                realized_h2=realized_h2,
+            )
         dtr = StackedData(
             PackedX(jnp.asarray(by), jnp.asarray(scale), jnp.asarray(shift), n_tr),
             jnp.asarray(y_tr),
@@ -223,12 +241,19 @@ def main():
     else:
         dtr = stack_standardized(arch, cols_tr, y_tr)
     # test matrices standardized with TRAIN moments (bed.rs:304-323 contract)
-    mu = [c.mean(0) for c in cols_tr]
-    sd = [np.where(c.std(0) == 0, 1, c.std(0)) for c in cols_tr]
-    cols_te_std = [
-        ((c - mu[g]) / sd[g]).astype(np.float32) for g, c in enumerate(cols_te)
-    ]
-    dte = stack_standardized(arch, cols_te_std, y_te, standardize=False)
+    if Xte_std is not None:
+        import jax.numpy as jnp
+
+        from rs_bann_tpu.models.data import StackedData
+
+        dte = StackedData(jnp.asarray(Xte_std), jnp.asarray(y_te))
+    else:
+        mu = [c.mean(0) for c in cols_tr]
+        sd = [np.where(c.std(0) == 0, 1, c.std(0)) for c in cols_tr]
+        cols_te_std = [
+            ((c - mu[g]) / sd[g]).astype(np.float32) for g, c in enumerate(cols_te)
+        ]
+        dte = stack_standardized(arch, cols_te_std, y_te, standardize=False)
 
     state, _ = init_net(arch, args.model, InitCfg(seed=args.seed_init))
     net = Net(args.model, arch, D.Hyperparameters(), state)
