@@ -110,6 +110,10 @@ def main():
                     choices=["fixed", "jittered", "uturn"])
     ap.add_argument("--gd-warmup", type=int, default=0)
     ap.add_argument("--num-chains", type=int, default=1)
+    ap.add_argument("--tempering", action="store_true",
+                    help="parallel tempering over the chain axis (needs "
+                    "--num-chains >= 2; samples come from the cold chain)")
+    ap.add_argument("--max-temperature", type=float, default=4.0)
     ap.add_argument("--seed-truth", type=int, default=1)
     ap.add_argument("--seed-init", type=int, default=1)
     ap.add_argument("--seed-mcmc", type=int, default=3)
@@ -184,6 +188,8 @@ def main():
         "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
         "causal_branches": args.causal_branches,
+        "tempering": args.tempering,
+        "num_chains": args.num_chains,
         "seeds": [args.seed_truth, args.seed_init, args.seed_mcmc],
     }
 
@@ -275,6 +281,8 @@ def main():
         ss_pi=args.ss_pi,
         ss_warmup=args.ss_warmup,
         hmc_traj_length_mode=args.traj_length_mode,
+        tempering=args.tempering,
+        max_temperature=args.max_temperature,
         num_chains=args.num_chains,
         outpath=outdir,
         seed=args.seed_mcmc,
