@@ -81,7 +81,11 @@ def main():
         lambda c, X_, y_: jax.lax.map(lambda ci: sweep1(ci, X_, y_), c)
     )
     keys = jax.random.split(jax.random.key(0), C)
-    carry = jax.vmap(lambda k: net.init_carry(X, y, k))(keys)
+    carry = jax.jit(
+        lambda s, X_, y_, ks: jax.vmap(
+            lambda k: net.init_carry(X_, y_, k, state=s)
+        )(ks)
+    )(net.state, X, y, keys)
 
     log(f"compiling sweep: G={G} m={m} n={n} h={h} depth={depth} C={C} L={L}")
     t0 = time.time()
@@ -133,7 +137,9 @@ def main():
         seed=0,
     )
     base_sweep = jax.jit(net.make_sweep(base_cfg))
-    base_carry = net.init_carry(X, y, jax.random.key(2))
+    base_carry = jax.jit(
+        lambda s, X_, y_, k: net.init_carry(X_, y_, k, state=s)
+    )(net.state, X, y, jax.random.key(2))
     t0 = time.time()
     base_carry, base_stats = base_sweep(base_carry, X, y)
     sync(base_stats)

@@ -7,9 +7,9 @@ HBM-resident across the whole run in one of two forms:
 
   * ``StackedData``: materialized standardized X as [G, n, m_pad] f32 —
     best for small/medium problems (the entire sweep reads it in place).
-  * packed form (see ops/bed_codec.py / ops/pallas_bed.py): the 2-bit PLINK
-    bed bytes stay compressed in HBM and are fused-decoded per branch —
-    16x less HBM for genome-scale inputs.
+  * packed form (see ops/packed_matmul.py): the 2-bit PLINK bed bytes stay
+    compressed in HBM and are fused-decoded per branch — 16x less HBM for
+    genome-scale inputs.
 """
 
 from __future__ import annotations

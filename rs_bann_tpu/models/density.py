@@ -34,6 +34,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import activations as _A
 from ..ops.activations import activation
@@ -96,18 +97,21 @@ class BranchStatics(NamedTuple):
 
 
 def branch_statics(arch: NetArch) -> BranchStatics:
+    """Static per-branch counts/masks as HOST (numpy) leaves — compile-time
+    constants embedded at lowering without a device readback (see
+    params.weight_masks for why this matters on tunnel-attached TPUs)."""
     ins = arch.layer_in_counts()
     row_masks = []
     for l in range(arch.num_layers):
         ip = arch.layer_in_pad(l)
-        rm = (jnp.arange(ip)[None, :] < jnp.asarray(ins[l])[:, None]).astype(jnp.float32)
+        rm = (np.arange(ip)[None, :] < np.asarray(ins[l])[:, None]).astype(np.float32)
         row_masks.append(rm[:, :, None])
     return BranchStatics(
         w_counts=P.weight_counts(arch),
         b_counts=P.bias_counts(arch),
         row_masks=tuple(row_masks),
         out_counts=tuple(
-            jnp.asarray(c, jnp.float32) for c in arch.layer_out_counts()
+            np.asarray(c, np.float32) for c in arch.layer_out_counts()
         ),
         n_params=P.param_counts(arch),
     )

@@ -339,12 +339,25 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     (TrainCarry, SweepStats). Jit (and optionally vmap over chains) at the
     call site.
     """
-    statics = D.branch_statics(arch)
-    masks_w = P.weight_masks(arch)
-    masks_b = P.bias_masks(arch)
+    # HOST numpy constants (see params.weight_masks): converted to device
+    # constants INSIDE each sweep function, at trace time — embedding them
+    # from host memory at lowering instead of paying a device->host readback
+    # per array per compile (measured 4 s/array on a tunnel-attached TPU,
+    # 360 s of round-1 "compile time")
+    statics_h = D.branch_statics(arch)
+    masks_w_h = P.weight_masks(arch)
+    masks_b_h = P.bias_masks(arch)
+
+    def _device_consts():
+        return (
+            jax.tree.map(jnp.asarray, statics_h),
+            tuple(jnp.asarray(m) for m in masks_w_h),
+            tuple(jnp.asarray(m) for m in masks_b_h),
+        )
+
     G = arch.num_branches
     L = arch.num_layers
-    n_out_tot = jnp.asarray(float(arch.total_output_weights))
+    n_out_tot = float(arch.total_output_weights)
     gibbs_precisions = not (cfg.joint_hmc or cfg.gradient_descent_joint)
     sample_local = (
         gibbs_precisions
@@ -360,7 +373,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             "spike_slab needs a Gaussian (conjugate) slab on the output "
             "layer; lasso models have a Laplace output prior"
         )
-    out_w_counts = statics.w_counts[L - 1]  # [G] true output weights per branch
+    out_w_counts = statics_h.w_counts[L - 1]  # [G] true output weights per branch
 
     if cfg.gradient_descent:
         transition = make_gradient_descent(model_type, act, cfg)
@@ -409,7 +422,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
     da_mu = _math.log(10.0 * cfg.hmc_step_size_factor)
 
-    def branch_update(carry: TrainCarry, g, X, y):
+    def branch_update(carry: TrainCarry, g, X, y, statics, masks_w, masks_b):
         state, residual = carry.state, carry.residual
         params, precisions = state.params, state.precisions
         (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior) = (
@@ -689,12 +702,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
     # ---------------------------------------------------------- sequential
     def sweep_sequential(carry: TrainCarry, X, y):
+        statics, masks_w, masks_b = _device_consts()
         key, k_perm, k_pi = jax.random.split(carry.key, 3)
         carry = carry._replace(key=key)
         perm = jax.random.permutation(k_perm, G)
 
         def body(c, g):
-            return branch_update(c, g, X, y)
+            return branch_update(c, g, X, y, statics, masks_w, masks_b)
 
         carry, trajs = jax.lax.scan(body, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
@@ -707,6 +721,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
     # ------------------------------------------------------------ parallel
     def sweep_parallel(carry: TrainCarry, X, y):
+        statics, masks_w, masks_b = _device_consts()
         state = carry.state
         params, precisions = state.params, state.precisions
         (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_pi, k_prior) = (
@@ -984,6 +999,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         stats) refresh per block, like the sequential schedule refreshes
         them per branch — bounding the stale-residual coupling that degrades
         the fully-parallel kernel at large G to block_size branches."""
+        statics, masks_w, masks_b = _device_consts()
         B = cfg.block_size if cfg.block_size > 0 else default_block_size(G)
         assert G % B == 0, f"block_size {B} must divide num_branches {G}"
         R = G // B
@@ -1510,6 +1526,7 @@ class Net:
         mass_adaptation: bool = False,
         beta=1.0,
         ss_pi: float = 0.5,
+        state: Optional[NetState] = None,
     ) -> TrainCarry:
         """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171).
 
@@ -1518,10 +1535,15 @@ class Net:
         copies, so it is only allocated when the feature is used).
 
         ``beta`` is this chain slot's inverse temperature (parallel
-        tempering); 1.0 targets the true posterior."""
-        residual = y - self.predict(X)
+        tempering); 1.0 targets the true posterior.
+
+        ``state``: pass the NetState explicitly when calling under jit —
+        the default ``self.state`` is a CLOSED-OVER device pytree, which
+        jit would bake in as constants and read back from the device at
+        every lowering (seconds per array on tunnel-attached chips)."""
+        s = self.state if state is None else state
+        residual = y - self.predict(X, s)
         statics = D.branch_statics(self.arch)
-        s = self.state
 
         def local(w_g, b_g, wp_g, bp_g, st_g):
             return D.joint_local_term(

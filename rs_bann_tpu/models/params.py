@@ -56,8 +56,15 @@ class NetState(NamedTuple):
 # ----------------------------------------------------------------- masks
 
 
-def weight_masks(arch: NetArch) -> Tuple[jax.Array, ...]:
-    """Per-layer [G, in_pad, out_pad] {0,1} masks of real weights."""
+def weight_masks(arch: NetArch) -> Tuple[np.ndarray, ...]:
+    """Per-layer [G, in_pad, out_pad] {0,1} masks of real weights.
+
+    HOST (numpy) arrays by design: these are compile-time constants of the
+    sweep program. Converting them to device arrays eagerly would force a
+    device->host readback at every jit lowering (measured ~4 s per array
+    through a tunnel-attached TPU, the dominant cost of "compile time" in
+    round 1); numpy constants embed directly from host memory. Convert with
+    jnp.asarray INSIDE traced code where tracer indexing is needed."""
     ins = arch.layer_in_counts()
     outs = arch.layer_out_counts()
     masks = []
@@ -65,7 +72,7 @@ def weight_masks(arch: NetArch) -> Tuple[jax.Array, ...]:
         ip, op = arch.layer_in_pad(l), arch.layer_out_pad(l)
         im = np.arange(ip)[None, :] < ins[l][:, None]  # [G, in_pad]
         om = np.arange(op)[None, :] < outs[l][:, None]  # [G, out_pad]
-        masks.append(jnp.asarray(im[:, :, None] & om[:, None, :], jnp.float32))
+        masks.append(np.asarray(im[:, :, None] & om[:, None, :], np.float32))
     return tuple(masks)
 
 
@@ -75,14 +82,14 @@ def bias_masks(arch: NetArch) -> Tuple[jax.Array, ...]:
     for l in range(arch.num_layers - 1):
         op = arch.layer_out_pad(l)
         om = np.arange(op)[None, :] < outs[l][:, None]
-        masks.append(jnp.asarray(om, jnp.float32))
+        masks.append(np.asarray(om, np.float32))
     return tuple(masks)
 
 
 def marker_mask(arch: NetArch) -> jax.Array:
     """[G, m_pad] mask of real markers."""
     mm = np.arange(arch.m_pad)[None, :] < np.asarray(arch.m)[:, None]
-    return jnp.asarray(mm, jnp.float32)
+    return np.asarray(mm, np.float32)
 
 
 # ------------------------------------------------------- per-branch counts
@@ -92,18 +99,18 @@ def weight_counts(arch: NetArch) -> Tuple[jax.Array, ...]:
     """Per-layer [G] true number of weights."""
     ins = arch.layer_in_counts()
     outs = arch.layer_out_counts()
-    return tuple(jnp.asarray(ins[l] * outs[l], jnp.float32) for l in range(arch.num_layers))
+    return tuple(np.asarray(ins[l] * outs[l], np.float32) for l in range(arch.num_layers))
 
 
 def bias_counts(arch: NetArch) -> Tuple[jax.Array, ...]:
     outs = arch.layer_out_counts()
-    return tuple(jnp.asarray(outs[l], jnp.float32) for l in range(arch.num_layers - 1))
+    return tuple(np.asarray(outs[l], np.float32) for l in range(arch.num_layers - 1))
 
 
 def param_counts(arch: NetArch) -> jax.Array:
     """[G] true number of params (weights+biases) per branch."""
-    return jnp.asarray(
-        [arch.num_params_branch(g) for g in range(arch.num_branches)], jnp.float32
+    return np.asarray(
+        [arch.num_params_branch(g) for g in range(arch.num_branches)], np.float32
     )
 
 

@@ -1,0 +1,565 @@
+"""Pure-NumPy mirror of the reference binary's sequential training algorithm.
+
+Rust/cargo is not available in this image, so the actual reference binary
+(/root/reference) cannot be executed. This module is the runnable stand-in:
+a straight, host-driven, branch-at-a-time implementation of the reference's
+EXACT update order and f32 arithmetic, used to establish statistical parity
+of the TPU framework's samplers against the reference algorithm
+(VERDICT.md round-1 item #1).
+
+Mirrored, line for line in structure (all refs relative /root/reference/):
+
+  * outer Gibbs-over-branches loop          src/net/net.rs:251-334
+      shuffle branch order; per branch: inject globals, Gibbs error/param
+      precisions, residual += old pred, hmc_step, residual -= new/old pred,
+      propagate globals, output-bias ML update
+  * hmc_step                                src/net/branch/branch_sampler.rs:1192-1299
+      per-mode step sizes, N(0,1) momenta, leapfrog with per-step
+      |dH| > max_error early abort (restores init params), Metropolis accept
+  * backprop gradient                       branch_sampler.rs:813-875
+      note the reference's d_rss arrays are HALF the rss gradient (no factor
+      2); consistent because its log density uses rss/2
+  * marginal log density                    branch_sampler.rs:72-128 +
+      ridge_base.rs:165-178 / lasso_base.rs:163-175 (biases unregularized)
+  * Gibbs precision posteriors              src/net/gibbs_steps.rs:9-129
+  * output-weight summary-stat bookkeeping  branch_struct.rs:26 (from_cfg
+      subtracts own stat), branch_sampler.rs:155-171 (to_cfg adds it back),
+      branch_sampler.rs:178-188 (add/draw/subtract around the shared
+      output-precision draw)
+  * init                                    branch_cfg_builder.rs:180-233
+      (default N(0,1/m) / fixed-variance / Gamma-mean inits), per-group
+      maximum-likelihood initial precisions (:237-251, :308-328)
+  * architectures                           architectures.rs:175-236 (pooled
+      ML output precision across branches; GlobalParams{2.0, 0.05})
+
+RNG: a single numpy Generator stands in for the reference's host ThreadRng +
+ArrayFire device RNG. Comparisons against this oracle are therefore
+distributional (posterior summaries within Monte Carlo error), never bitwise.
+
+Scope: ridge_base and lasso_base (the canonical sim_train_pred.sh workload
+is lasso_base) plus std_normal; ARD variants are exercised against the JAX
+sequential sampler's own finite-difference and golden tests instead.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+F = np.float32
+
+
+# --------------------------------------------------------------------------
+# containers
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class OracleBranch:
+    """Host snapshot of one branch = the reference's BranchCfg."""
+
+    weights: List[np.ndarray]  # per layer [in, out] f32
+    biases: List[np.ndarray]  # per layer [out] f32, no output bias
+    w_prec: List[float]  # per layer scalar precision (base priors)
+    b_prec: List[float]
+
+    def num_weights_layer(self, l: int) -> int:
+        return self.weights[l].size
+
+
+@dataclass
+class OracleHyper:
+    """NetworkPrecisionHyperparameters (params.rs:144-163); defaults are the
+    CLI's dpk/dps/spk/sps/opk/ops defaults (cli.rs:350-404)."""
+
+    dense_shape: float = 1.0
+    dense_scale: float = 1.0
+    summary_shape: float = 1.0
+    summary_scale: float = 1.0
+    output_shape: float = 1.0
+    output_scale: float = 1.0
+
+    def layer(self, l: int, num_layers: int):
+        if l == num_layers - 1:
+            return self.output_shape, self.output_scale
+        if l == num_layers - 2:
+            return self.summary_shape, self.summary_scale
+        return self.dense_shape, self.dense_scale
+
+
+@dataclass
+class OracleCfg:
+    chain_length: int = 100
+    burn_in: Optional[int] = None  # default chain_length - 1 (mcmc_cfg.rs:152)
+    hmc_integration_length: int = 300
+    hmc_step_size_factor: float = 1.0
+    hmc_max_hamiltonian_error: float = 10.0
+    hmc_step_size_mode: str = "izmailov"  # izmailov|std_scaled|random|uniform
+    fixed_param_precisions: bool = False
+    sampled_output_bias: bool = False
+
+    def __post_init__(self):
+        if self.burn_in is None:
+            self.burn_in = self.chain_length - 1
+
+
+def _act(z):
+    return np.tanh(z)
+
+
+def _dact(z):
+    t = np.tanh(z)
+    return (1.0 - t * t).astype(F)
+
+
+# --------------------------------------------------------------------------
+# Gibbs posteriors (gibbs_steps.rs)
+# --------------------------------------------------------------------------
+
+
+def ridge_multi_precision(rng, shape, scale, ssq, n):
+    """gibbs_steps.rs:76-94: Gamma(shape + n/2, 2s/(2 + s*ssq)) (scale-param)."""
+    post_shape = shape + n / 2.0
+    post_scale = 2.0 * scale / (2.0 + scale * ssq)
+    return rng.gamma(post_shape, post_scale)
+
+
+def lasso_multi_precision(rng, shape, scale, l1, n):
+    """gibbs_steps.rs:25-39: Gamma(shape + n, s/(1 + s*l1))."""
+    return rng.gamma(shape + n, scale / (1.0 + scale * l1))
+
+
+def ridge_single_precision(rng, shape, scale, val):
+    """gibbs_steps.rs:9-23."""
+    return rng.gamma(shape + 0.5, 2.0 * scale / (2.0 + scale * val * val))
+
+
+# --------------------------------------------------------------------------
+# the net
+# --------------------------------------------------------------------------
+
+
+class OracleNet:
+    """Sequential reference algorithm on the host. One chain, f32 arrays."""
+
+    def __init__(
+        self,
+        model_type: str,
+        branches: List[OracleBranch],
+        hyper: OracleHyper,
+        # GlobalParams init (architectures.rs:216-236)
+        error_precision: float = 2.0,
+        output_layer_precision: float = 0.05,
+    ):
+        assert model_type in ("ridge_base", "lasso_base", "std_normal")
+        self.model_type = model_type
+        self.branches = branches
+        self.hyper = hyper
+        self.num_layers = len(branches[0].weights)
+        # global summary stats over ALL branches' output weights
+        self.global_reg_sum = float(
+            sum(self._stat(b.weights[-1]) for b in branches)
+        )
+        self.global_num_out = float(sum(b.weights[-1].size for b in branches))
+        self.global_error_precision = error_precision
+        self.global_output_precision = output_layer_precision
+        self.output_bias = 0.0
+        self.output_bias_precision = 1.0
+        # training stats
+        self.counts = np.zeros(3, np.int64)  # accepted/rejected/early
+        self.mse_train: List[float] = []
+        self.samples: List[List[OracleBranch]] = []
+        self.sample_biases: List[float] = []
+
+    # -------------------------------------------------------------- helpers
+    def _stat(self, w) -> float:
+        """summary_stat_fn: ssq for ridge/std_normal, l1 for lasso."""
+        if self.model_type == "lasso_base":
+            return float(np.sum(np.abs(w)))
+        return float(np.sum(w * w))
+
+    def _forward(self, br: OracleBranch, x):
+        """forward_feed (branch_sampler.rs:743-758): returns (pre_acts, acts);
+        output neuron is linear, no bias."""
+        pre, acts = [], []
+        a = x
+        for l in range(self.num_layers - 1):
+            z = (a @ br.weights[l] + br.biases[l]).astype(F)
+            pre.append(z)
+            a = _act(z).astype(F)
+            acts.append(a)
+        acts.append((a @ br.weights[-1]).astype(F)[:, 0])
+        return pre, acts
+
+    def predict_branch(self, br, x):
+        return self._forward(br, x)[1][-1]
+
+    def predict(self, X_groups):
+        y = np.full(X_groups[0].shape[0], self.output_bias, F)
+        for br, x in zip(self.branches, X_groups):
+            y = y + self.predict_branch(br, x)
+        return y
+
+    def _rss(self, br, x, y):
+        r = self.predict_branch(br, x) - y
+        return float(r @ r)
+
+    def _log_density(self, br, w_prec, err_prec, rss):
+        """branch_sampler.rs:72-77 + ridge_base.rs:165-178 /
+        lasso_base.rs:163-175: -lam_e*rss/2 - sum_l prior(w_l); biases carry
+        no prior term in marginal mode (branch_sampler.rs:104-112)."""
+        ld = -err_prec * rss / 2.0
+        for l in range(self.num_layers):
+            if self.model_type == "lasso_base":
+                ld -= w_prec[l] * float(np.sum(np.abs(br.weights[l])))
+            else:
+                ld -= w_prec[l] * float(np.sum(br.weights[l] ** 2)) / 2.0
+        return ld
+
+    def _gradient(self, br, x, y, err_prec):
+        """backpropagate (branch_sampler.rs:813-875) + prior terms
+        (ridge_base.rs:175-184 / lasso_base.rs:175-185). d_rss arrays here
+        are A^T error (half the rss gradient), as in the reference."""
+        pre, acts = self._forward(br, x)
+        gw = [None] * self.num_layers
+        gb = [None] * (self.num_layers - 1)
+        err = (acts[-1] - y).astype(F)  # [n]
+        gw[-1] = (acts[-2].T @ err[:, None]).astype(F)
+        err2 = err[:, None] @ br.weights[-1].T  # [n, out]
+        for l in range(self.num_layers - 2, -1, -1):
+            delta = (_dact(pre[l]) * err2).astype(F)
+            gb[l] = delta.sum(axis=0).astype(F)
+            inp = x if l == 0 else acts[l - 1]
+            gw[l] = (inp.T @ delta).astype(F)
+            if l > 0:
+                err2 = delta @ br.weights[l].T
+        # prior terms -> full log-density gradient
+        for l in range(self.num_layers):
+            if self.model_type == "lasso_base":
+                prior = br.w_prec[l] * np.sign(br.weights[l])
+            else:
+                prior = br.w_prec[l] * br.weights[l]
+            gw[l] = (-(err_prec * gw[l] + prior)).astype(F)
+        for l in range(self.num_layers - 1):
+            gb[l] = (-(err_prec * gb[l])).astype(F)
+        return gw, gb
+
+    def _step_sizes(self, rng, br, cfg: OracleCfg):
+        """Per-mode step sizes (ridge_base.rs:52-115, lasso_base.rs:84-117,
+        branch_sampler.rs:654-732)."""
+        mode, fac = cfg.hmc_step_size_mode, cfg.hmc_step_size_factor
+        L = cfg.hmc_integration_length
+        eps_w, eps_b = [], []
+        if mode == "izmailov":
+            for l in range(self.num_layers):
+                if self.model_type == "lasso_base":
+                    e = fac / (4.0 * br.w_prec[l] * L)
+                else:
+                    e = fac * math.pi / (2.0 * math.sqrt(br.w_prec[l]) * L)
+                eps_w.append(np.full_like(br.weights[l], F(e)))
+            for l in range(self.num_layers - 1):
+                e = fac * math.pi / (2.0 * math.sqrt(br.b_prec[l]) * L)
+                eps_b.append(np.full_like(br.biases[l], F(e)))
+        elif mode == "std_scaled":
+            for l in range(self.num_layers):
+                eps_w.append(
+                    np.full_like(br.weights[l], F(fac / math.sqrt(br.w_prec[l])))
+                )
+            for l in range(self.num_layers - 1):
+                eps_b.append(
+                    np.full_like(br.biases[l], F(fac / math.sqrt(br.b_prec[l])))
+                )
+        elif mode == "random":
+            n_params = sum(w.size for w in br.weights) + sum(
+                b.size for b in br.biases
+            )
+            prop = n_params ** (-0.25) * fac
+            for l in range(self.num_layers):
+                eps_w.append(
+                    (rng.random(br.weights[l].shape, dtype=np.float32) * prop).astype(F)
+                )
+            for l in range(self.num_layers - 1):
+                eps_b.append(
+                    (rng.random(br.biases[l].shape, dtype=np.float32) * prop).astype(F)
+                )
+        else:  # uniform
+            for l in range(self.num_layers):
+                eps_w.append(np.full_like(br.weights[l], F(fac)))
+            for l in range(self.num_layers - 1):
+                eps_b.append(np.full_like(br.biases[l], F(fac)))
+        return eps_w, eps_b
+
+    # ------------------------------------------------------------ HMC step
+    def _hmc_step(self, rng, br: OracleBranch, x, y, err_prec, cfg: OracleCfg):
+        """branch_sampler.rs:1192-1299. Mutates br in place; returns
+        (code, y_pred or None): 0 accepted / 1 rejected / 2 rejected early."""
+        init_w = [w.copy() for w in br.weights]
+        init_b = [b.copy() for b in br.biases]
+        eps_w, eps_b = self._step_sizes(rng, br, cfg)
+        p_w = [rng.standard_normal(w.shape, dtype=np.float32) for w in br.weights]
+        p_b = [rng.standard_normal(b.shape, dtype=np.float32) for b in br.biases]
+
+        def kinetic():
+            return 0.5 * (
+                sum(float(np.sum(p * p)) for p in p_w)
+                + sum(float(np.sum(p * p)) for p in p_b)
+            )
+
+        neg_h0 = (
+            self._log_density(br, br.w_prec, err_prec, self._rss(br, x, y))
+            - kinetic()
+        )
+        gw, gb = self._gradient(br, x, y, err_prec)
+        for _step in range(cfg.hmc_integration_length):
+            for l in range(self.num_layers):
+                p_w[l] = (p_w[l] + 0.5 * eps_w[l] * gw[l]).astype(F)
+                br.weights[l] = (br.weights[l] + eps_w[l] * p_w[l]).astype(F)
+            for l in range(self.num_layers - 1):
+                p_b[l] = (p_b[l] + 0.5 * eps_b[l] * gb[l]).astype(F)
+                br.biases[l] = (br.biases[l] + eps_b[l] * p_b[l]).astype(F)
+            gw, gb = self._gradient(br, x, y, err_prec)
+            for l in range(self.num_layers):
+                p_w[l] = (p_w[l] + 0.5 * eps_w[l] * gw[l]).astype(F)
+            for l in range(self.num_layers - 1):
+                p_b[l] = (p_b[l] + 0.5 * eps_b[l] * gb[l]).astype(F)
+            neg_h = (
+                self._log_density(br, br.w_prec, err_prec, self._rss(br, x, y))
+                - kinetic()
+            )
+            if not (abs(neg_h - neg_h0) <= cfg.hmc_max_hamiltonian_error):
+                br.weights, br.biases = init_w, init_b
+                return 2, None
+        # accept_or_reject (branch_sampler.rs:928-962)
+        y_pred = self.predict_branch(br, x)
+        r = y_pred - y
+        ld = self._log_density(br, br.w_prec, err_prec, float(r @ r))
+        log_acc = (ld - kinetic()) - neg_h0
+        acc_p = 1.0 if log_acc >= 0.0 else math.exp(log_acc)
+        if rng.random() < acc_p:
+            return 0, y_pred
+        br.weights, br.biases = init_w, init_b
+        return 1, None
+
+    # ---------------------------------------------------------------- train
+    def train(
+        self,
+        X_groups: List[np.ndarray],  # per-branch standardized [n, m_g] f32
+        y: np.ndarray,
+        cfg: OracleCfg,
+        seed: int = 0,
+        X_test: Optional[List[np.ndarray]] = None,
+        y_test: Optional[np.ndarray] = None,
+    ):
+        """net.rs:201-358. Keeps per-iteration mse and post-burn-in samples."""
+        rng = np.random.default_rng(seed)
+        y = np.asarray(y, F)
+        G = len(self.branches)
+        residual = (y - self.predict(X_groups)).astype(F)
+        self.mse_train.append(float(residual @ residual) / y.shape[0])
+        self.mse_test = []
+        if X_test is not None:
+            r = self.predict(X_test) - y_test
+            self.mse_test.append(float(r @ r) / y_test.shape[0])
+        if cfg.burn_in == 0:
+            self._save_sample()
+
+        for chain_ix in range(1, cfg.chain_length + 1):
+            order = rng.permutation(G)
+            for g in order:
+                br = self.branches[g]
+                # cfg.update_global_params (branch_cfg.rs:59-63) + from_cfg
+                # (branch_struct.rs:26): inject shared scalars, remove own
+                # output stat from the global sum
+                err_prec = self.global_error_precision
+                br.w_prec[-1] = self.global_output_precision
+                reg_sum_others = self.global_reg_sum - self._stat(br.weights[-1])
+
+                # Gibbs draws (net.rs:270-277)
+                if self.model_type != "std_normal":
+                    err_prec = ridge_multi_precision(
+                        rng,
+                        self.hyper.output_shape,
+                        self.hyper.output_scale,
+                        float(residual @ residual),
+                        residual.size,
+                    )
+                    if not cfg.fixed_param_precisions:
+                        # sample_prior_precisions (ridge_base.rs:235-253 /
+                        # lasso_base.rs:235-253): local layers only
+                        for l in range(self.num_layers - 1):
+                            shape, scale = self.hyper.layer(l, self.num_layers)
+                            w = br.weights[l]
+                            if self.model_type == "lasso_base":
+                                br.w_prec[l] = lasso_multi_precision(
+                                    rng, shape, scale,
+                                    float(np.sum(np.abs(w))), w.size,
+                                )
+                            else:
+                                br.w_prec[l] = ridge_multi_precision(
+                                    rng, shape, scale,
+                                    float(np.sum(w * w)), w.size,
+                                )
+                            br.b_prec[l] = ridge_multi_precision(
+                                rng, shape, scale,
+                                float(np.sum(br.biases[l] ** 2)),
+                                br.biases[l].size,
+                            )
+                        # sample_output_weight_precisions
+                        # (branch_sampler.rs:178-188): draw from the GLOBAL
+                        # stat incl. own current output weights
+                        own = self._stat(br.weights[-1])
+                        if self.model_type == "lasso_base":
+                            lam = lasso_multi_precision(
+                                rng, self.hyper.output_shape,
+                                self.hyper.output_scale,
+                                reg_sum_others + own, self.global_num_out,
+                            )
+                        else:
+                            lam = ridge_multi_precision(
+                                rng, self.hyper.output_shape,
+                                self.hyper.output_scale,
+                                reg_sum_others + own, self.global_num_out,
+                            )
+                        br.w_prec[-1] = lam
+
+                # residual += old prediction (net.rs:279-280)
+                prev_pred = self.predict_branch(br, X_groups[g])
+                residual = (residual + prev_pred).astype(F)
+
+                code, y_pred = self._hmc_step(
+                    rng, br, X_groups[g], residual, err_prec, cfg
+                )
+                self.counts[code] += 1
+                if code == 0:
+                    residual = (residual - y_pred).astype(F)
+                else:
+                    residual = (residual - prev_pred).astype(F)
+
+                # to_cfg + update_from_branch_cfg (net.rs:302-304): share the
+                # new error/output precisions and the refreshed global stat
+                self.global_reg_sum = reg_sum_others + self._stat(br.weights[-1])
+                self.global_error_precision = err_prec
+                self.global_output_precision = br.w_prec[-1]
+
+                # output bias (net.rs:319-332), ML by default
+                residual = (residual + F(self.output_bias)).astype(F)
+                if cfg.sampled_output_bias:
+                    self.output_bias_precision = ridge_single_precision(
+                        rng, self.hyper.output_shape, self.hyper.output_shape,
+                        self.output_bias,
+                    )
+                    n = residual.size
+                    denom = n * err_prec + self.output_bias_precision
+                    nu = err_prec / denom
+                    self.output_bias = rng.normal(
+                        nu * float(residual.sum()), math.sqrt(1.0 / denom)
+                    )
+                else:
+                    self.output_bias = float(residual.mean())
+                residual = (residual - F(self.output_bias)).astype(F)
+
+            self.mse_train.append(float(residual @ residual) / y.shape[0])
+            if X_test is not None:
+                r = self.predict(X_test) - y_test
+                self.mse_test.append(float(r @ r) / y_test.shape[0])
+            if chain_ix >= cfg.burn_in:
+                self._save_sample()
+        return self
+
+    def _save_sample(self):
+        self.samples.append(
+            [
+                OracleBranch(
+                    [w.copy() for w in b.weights],
+                    [bb.copy() for bb in b.biases],
+                    list(b.w_prec),
+                    list(b.b_prec),
+                )
+                for b in self.branches
+            ]
+        )
+        self.sample_biases.append(self.output_bias)
+
+    def posterior_predict(self, X_groups) -> np.ndarray:
+        """predict subcommand: one row per saved sample (rs-bann.rs:291-311)."""
+        out = []
+        for sample, bias in zip(self.samples, self.sample_biases):
+            yhat = np.full(X_groups[0].shape[0], bias, F)
+            for br, x in zip(sample, X_groups):
+                yhat = yhat + self.predict_branch(br, x)
+            out.append(yhat)
+        return np.stack(out)
+
+    # ------------------------------------------------------------- builders
+    @staticmethod
+    def build(
+        model_type: str,
+        num_markers: List[int],
+        hidden: int,
+        depth: int,
+        summary: int,
+        hyper: OracleHyper = None,
+        init_gamma: Optional[tuple] = None,  # (shape, scale) -> Gamma-mean init
+        init_param_variance: Optional[float] = None,
+        seed: int = 0,
+    ) -> "OracleNet":
+        """BlockNetCfg::build_net (architectures.rs:187-236) +
+        BranchCfgBuilder inits (branch_cfg_builder.rs:180-328)."""
+        rng = np.random.default_rng(seed)
+        hyper = hyper or OracleHyper()
+        branches = []
+        for m in num_markers:
+            widths = [m] + [hidden] * depth + [summary, 1]
+            L = len(widths) - 1
+            ws, bs = [], []
+            for l in range(L):
+                fan_in, fan_out = widths[l], widths[l + 1]
+                if init_gamma is not None:
+                    k, s = init_gamma
+                    std = math.sqrt(1.0 / (k * s))  # gamma MEAN precision
+                elif init_param_variance is not None:
+                    std = math.sqrt(init_param_variance)
+                else:
+                    std = math.sqrt(1.0 / m)  # default_param_init
+                ws.append(rng.normal(0.0, std, (fan_in, fan_out)).astype(F))
+            for l in range(L - 1):
+                if init_gamma is not None:
+                    k, s = init_gamma
+                    bs.append(
+                        rng.normal(
+                            0.0, math.sqrt(1.0 / (k * s)), widths[l + 1]
+                        ).astype(F)
+                    )
+                elif init_param_variance is not None:
+                    bs.append(
+                        rng.normal(
+                            0.0, math.sqrt(init_param_variance), widths[l + 1]
+                        ).astype(F)
+                    )
+                else:
+                    bs.append(np.zeros(widths[l + 1], F))
+            # maximum-likelihood initial precisions (:237-251); zero-variance
+            # groups (all-zero default biases) yield inf, as in the reference
+            w_prec = [
+                float(w.size) / float(np.sum(w * w)) if np.sum(w * w) > 0 else np.inf
+                for w in ws
+            ]
+            b_prec = [
+                float(b.size) / float(np.sum(b * b)) if np.sum(b * b) > 0 else np.inf
+                for b in bs
+            ]
+            branches.append(OracleBranch(ws, bs, w_prec, b_prec))
+        # pooled output precision (architectures.rs:175-185)
+        pooled = len(branches) / sum(
+            float(np.sum(b.weights[-1] ** 2)) for b in branches
+        )
+        for b in branches:
+            b.w_prec[-1] = pooled
+        if model_type == "std_normal":
+            for b in branches:
+                b.w_prec = [1.0] * len(b.w_prec)
+                b.b_prec = [1.0] * len(b.b_prec)
+        return OracleNet(model_type, branches, hyper)

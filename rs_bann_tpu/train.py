@@ -410,10 +410,16 @@ def train(
     if C == 1:
         sweep_jit = jax.jit(sweep)
         key = jax.random.key(cfg.seed)
-        carry = net.init_carry(
-            X, y, key, cfg.hmc_step_size_factor, cfg.mass_adaptation,
-            ss_pi=cfg.ss_pi,
-        )
+        # jit with state/X/y as ARGUMENTS: init_carry runs a full-net
+        # predict — eagerly that is dozens of tunnel round trips (measured
+        # 30 s at the bench shape), and closing over the device state would
+        # bake it in as constants (device readback at lowering)
+        carry = jax.jit(
+            lambda s, X_, y_, k: net.init_carry(
+                X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
+                ss_pi=cfg.ss_pi, state=s,
+            )
+        )(net.state, X, y, key)
     else:
         # chains run sequentially inside one compiled program (lax.map):
         # measured ~2.7x faster than a vmapped chain batch on v5e, which
@@ -428,12 +434,16 @@ def train(
             if cfg.tempering
             else jnp.ones(C, jnp.float32)
         )
-        carry = jax.vmap(
-            lambda k, b: net.init_carry(
-                X, y, k, cfg.hmc_step_size_factor, cfg.mass_adaptation, b,
-                ss_pi=cfg.ss_pi,
-            )
-        )(keys, betas)
+        # state/X/y flow in as jit ARGUMENTS (closing over device arrays
+        # would bake them in as constants -> device readback at lowering)
+        carry = jax.jit(
+            lambda s, X_, y_, ks, bs: jax.vmap(
+                lambda k, b: net.init_carry(
+                    X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
+                    b, ss_pi=cfg.ss_pi, state=s,
+                )
+            )(ks, bs)
+        )(net.state, X, y, keys, betas)
 
     stats = TrainingStats()
     start_ix = 0
@@ -679,6 +689,12 @@ def train(
 
     t0 = time.time()
     chain_ix = start_ix
+    # one compiled program per run: shrink K to a divisor of the remaining
+    # iterations so the tail batch reuses the same executable (each distinct
+    # K is a separate multi-minute compile on tunnel-attached chips)
+    remaining = cfg.chain_length - start_ix
+    if remaining > 0 and remaining % K_auto != 0:
+        K_auto = max(k for k in range(1, K_auto + 1) if remaining % k == 0)
     while chain_ix < cfg.chain_length:
         K = min(K_auto, cfg.chain_length - chain_ix)
         if has_test:

@@ -1,5 +1,6 @@
 """Dual-averaging step-size adaptation tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def _sim(arch, seed=7, n=300, h2=0.7):
     return d._replace(y=jnp.asarray(y.astype(np.float32)))
 
 
+@pytest.mark.slow
 def test_adaptation_moves_step_size_and_freezes_after_burnin(tmp_path):
     arch = NetArch(m=(10,), h=(5,), s=(5,), depth=0)
     data = _sim(arch)
@@ -53,6 +55,7 @@ def test_adaptation_moves_step_size_and_freezes_after_burnin(tmp_path):
     assert float(carry.da_log_eps_bar[0]) == adapted
 
 
+@pytest.mark.slow
 def test_adaptive_beats_or_matches_static_acceptance(tmp_path):
     arch = NetArch(m=(10, 10), h=(5, 5), s=(5, 5), depth=0)
     data = _sim(arch)

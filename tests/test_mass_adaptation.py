@@ -1,6 +1,7 @@
 """Diagonal mass-matrix adaptation tests (TPU extension; no reference
 counterpart — the reference's izmailov rule is the count=0 special case)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def _sim(arch, seed=7, n=300, h2=0.7):
     return d._replace(y=jnp.asarray(y.astype(np.float32)))
 
 
+@pytest.mark.slow
 def test_mass_estimate_freezes_after_burnin_and_tracks_chain_variance():
     arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
     data = _sim(arch)
@@ -103,6 +105,7 @@ def test_mass_estimate_freezes_after_burnin_and_tracks_chain_variance():
     np.testing.assert_array_equal(np.asarray(carry.mm_m2), m2_frozen)
 
 
+@pytest.mark.slow
 def test_mass_adaptation_posterior_matches_unadapted(tmp_path):
     """Same posterior with and without the mass matrix (it only changes the
     proposal): posterior-mean predictions must agree within MCMC error."""

@@ -85,6 +85,7 @@ def test_packed_gradient_matches_dense():
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_mode", ["sequential", "parallel"])
 def test_packed_sweep_matches_dense(update_mode):
     """Same seed, packed vs dense input: identical sampler trajectory."""

@@ -28,6 +28,7 @@ def _setup(G=8, n=32, m=8, C=2):
     return net, jnp.asarray(X), jnp.asarray(y)
 
 
+@pytest.mark.slow
 def test_sharded_parallel_sweep_matches_single_device():
     net, X, y = _setup()
     cfg = MCMCCfg(
@@ -60,6 +61,7 @@ def test_sharded_parallel_sweep_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_sweep_multiple_iterations_stay_sharded():
     net, X, y = _setup()
     cfg = MCMCCfg(
@@ -81,6 +83,7 @@ def test_sharded_sweep_multiple_iterations_stay_sharded():
     assert all(sh[1] == 2 for sh in shard_shapes)  # 8 branches / 4 shards
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
 

@@ -29,6 +29,7 @@ from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
 from rs_bann_tpu.train import prepare_state_for_training
 
 
+@pytest.mark.slow
 def test_collapsed_posterior_matches_numpy():
     rng = np.random.default_rng(0)
     n, s, s_pad = 200, 3, 8
@@ -103,6 +104,7 @@ def _signal_data(G=6, m=8, n=600, h2=0.7, seed=0):
     return arch, jnp.asarray(X), jnp.asarray(y)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_mode", ["sequential", "parallel", "hybrid"])
 def test_identifies_causal_branches(update_mode):
     """Only branches 0 and 1 carry signal; their PIPs must be ≈ 1, the null
@@ -126,6 +128,7 @@ def test_identifies_causal_branches(update_mode):
     assert float(st.mse_train) < 0.45  # noise floor ≈ 0.3
 
 
+@pytest.mark.slow
 def test_ss_warmup_forces_inclusion():
     """During the first ss_warmup sweeps every branch stays included
     (z = 1); selection starts only afterwards."""
@@ -150,6 +153,7 @@ def test_ss_warmup_forces_inclusion():
     assert np.any(np.asarray(carry.ss_z) != 1.0) or float(carry.ss_pi) < 0.99
 
 
+@pytest.mark.slow
 def test_all_null_stays_finite():
     """Pure-noise data: everything gets excluded and λ_out falls back to its
     Gamma(0.001, 1000) prior — the sampler must stay finite (f32 underflow
@@ -190,6 +194,7 @@ def test_cfg_validation_and_lasso_rejected():
         net.make_sweep(MCMCCfg(spike_slab=True))
 
 
+@pytest.mark.slow
 def test_train_writes_inclusion_probs(tmp_path):
     from rs_bann_tpu.models.data import StackedData
     from rs_bann_tpu.train import train
@@ -209,6 +214,7 @@ def test_train_writes_inclusion_probs(tmp_path):
     assert rec["pip"][0] > 0.5  # causal branch present
 
 
+@pytest.mark.slow
 def test_multichain_and_feature_combos(tmp_path):
     """SS composes with multi-chain training, tempering, mass adaptation and
     dynamic trajectory lengths (the full extension stack in one run);

@@ -152,6 +152,7 @@ def test_ard_identifies_effective_markers(tmp_path):
     assert top2 == {2, 7}, f"top markers {top2}, strengths {strength.round(2)}"
 
 
+@pytest.mark.slow
 def test_depth_two_network_trains(tmp_path):
     from rs_bann_tpu.train import train
 

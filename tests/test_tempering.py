@@ -1,6 +1,7 @@
 """Parallel tempering tests (TPU extension; the reference has no multi-chain
 capability at all — SURVEY.md §2.7)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,7 @@ def _sim(arch, seed=7, n=300, h2=0.7):
     return d._replace(y=jnp.asarray(y.astype(np.float32)))
 
 
+@pytest.mark.slow
 def test_tempering_posterior_matches_single_chain(tmp_path):
     """Replica exchange leaves the cold-chain posterior invariant: the
     posterior-mean predictions of a tempered 4-slot run must agree with a

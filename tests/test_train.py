@@ -47,6 +47,7 @@ def simulate(arch, model_type, h2, seed=7, n=600):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_mode", ["sequential", "parallel"])
 def test_train_multibranch_r2(tmp_path, update_mode):
     arch = NetArch(m=(10, 10, 10), h=(5, 5, 5), s=(5, 5, 5), depth=0)
@@ -72,6 +73,7 @@ def test_train_multibranch_r2(tmp_path, update_mode):
     assert len(models) == cfg.chain_length - cfg.burn_in + 1
 
 
+@pytest.mark.slow
 def test_train_is_reproducible(tmp_path):
     arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
     dtr, dte = simulate(arch, "ridge_base", h2=0.6, n=200)
@@ -91,6 +93,7 @@ def test_train_is_reproducible(tmp_path):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+@pytest.mark.slow
 def test_multichain(tmp_path):
     arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
     dtr, _ = simulate(arch, "ridge_base", h2=0.6, n=200)
@@ -112,6 +115,7 @@ def test_multichain(tmp_path):
 @pytest.mark.parametrize(
     "model_type", ["ridge_ard", "lasso_base", "lasso_ard", "std_normal"]
 )
+@pytest.mark.slow
 def test_all_families_train(tmp_path, model_type):
     arch = NetArch(m=(6, 6), h=(3, 3), s=(3, 3), depth=1)
     dtr, _ = simulate(arch, model_type, h2=0.7, n=200)
@@ -145,6 +149,7 @@ def test_save_load_round_trip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_joint_hmc_runs(tmp_path):
     arch = NetArch(m=(6,), h=(3,), s=(3,), depth=0)
     dtr, _ = simulate(arch, "ridge_base", h2=0.7, n=150)
@@ -160,6 +165,7 @@ def test_joint_hmc_runs(tmp_path):
     assert float(net.state.precisions.error) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_mode", ["parallel", "hybrid"])
 def test_joint_hmc_parallel_modes(tmp_path, update_mode):
     """Joint HMC under the parallel/hybrid schedules: local precisions move
@@ -181,6 +187,7 @@ def test_joint_hmc_parallel_modes(tmp_path, update_mode):
     assert not np.allclose(np.asarray(net.state.precisions.weights[0]), wp0)
 
 
+@pytest.mark.slow
 def test_joint_hmc_trajectories(tmp_path):
     """Joint mode records per-leapfrog-step trajectories incl. the precision
     series (the reference records trajectories in hmc_step_joint too)."""
@@ -223,6 +230,7 @@ def test_gradient_descent_mode(tmp_path):
     assert stats.mse_train[-1] < stats.mse_train[0]
 
 
+@pytest.mark.slow
 def test_sweep_batching_is_exact(tmp_path):
     """K sweeps per compiled call (lax.scan) must reproduce the K=1 path
     bit-for-bit: same seeds, same saved samples, same stats."""
@@ -243,6 +251,7 @@ def test_sweep_batching_is_exact(tmp_path):
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_is_exact(tmp_path):
     """Interrupt at iteration k, resume from checkpoint: identical final
     state and stats as an uninterrupted run (incl. the RNG stream)."""
@@ -278,6 +287,7 @@ def test_checkpoint_resume_is_exact(tmp_path):
     np.testing.assert_allclose(stats_full.mse_train, stats_res.mse_train, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_hybrid_update_mode(tmp_path):
     arch = NetArch(m=(6,) * 8, h=(3,) * 8, s=(3,) * 8, depth=0)
     dtr, dte = simulate(arch, "ridge_base", h2=0.7, n=250)
@@ -294,6 +304,7 @@ def test_hybrid_update_mode(tmp_path):
     assert stats.num_samples == 20 * 8  # every branch updated every sweep
 
 
+@pytest.mark.slow
 def test_gd_warmup(tmp_path):
     arch = NetArch(m=(8,), h=(4,), s=(4,), depth=0)
     dtr, dte = simulate(arch, "ridge_base", h2=0.7, n=200)

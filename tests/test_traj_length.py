@@ -42,6 +42,7 @@ def _branch_args():
     return w, b, wp, bp, mw, mb, x, y
 
 
+@pytest.mark.slow
 def test_traj_len_truncation_exact():
     """An L=24 scan truncated at traj_len=7 must produce the same proposal,
     acceptance and u-turn statistic as a static 7-step sampler (uniform step
@@ -126,6 +127,7 @@ def test_tl_update_rules():
         assert float(tl) == 12.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_mode", ["sequential", "parallel", "hybrid"])
 def test_uturn_adapts_then_freezes(update_mode):
     arch = NetArch.uniform(4, 8, 4, 1, 4)

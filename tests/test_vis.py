@@ -80,6 +80,7 @@ def test_expected_r2_formulas():
     assert len(w) == 2
 
 
+@pytest.mark.slow
 def test_trajectory_and_grad_check_plots(tmp_path):
     """plot_trajectory / plot_grad_check render from a --num-grad-traj run
     (py-vis/vis.py parity: trajectory + gradient-check diff plots)."""
