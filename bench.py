@@ -1,22 +1,35 @@
-"""Benchmark: HMC leapfrog throughput of the compiled Gibbs sweep.
+"""Benchmark: roofline-grade throughput of the compiled Gibbs sweep.
 
-Workload: a genome-scale-shaped block net — 64 branches x 64 markers,
-n=4096 individuals, one hidden layer of 32, block-parallel update mode,
-4 vectorized chains — the flagship configuration of this framework
-(multi-branch + multi-chain, which the rs-bann reference cannot express:
-it runs one chain, one branch at a time, host-driven).
+Workloads:
+  1. Flagship dense sweep — 64 branches x 64 markers, n=4096, one hidden
+     layer of 32, block-parallel update mode, 4 vectorized chains (the
+     multi-branch + multi-chain configuration the rs-bann reference cannot
+     express: it runs one chain, one branch at a time, host-driven).
+  2. Packed genome-scale sweep — 10k SNPs in 100 groups, n=100,000, the
+     docs/GENOME_SCALE.md production recipe shape (ridge_ard + identity +
+     hybrid + 2-bit packed genotypes with fused Pallas decode).
 
-Metric: leapfrog steps/s/chip, where one step = one per-branch leapfrog
-integration step (forward+backward pass + momentum update) — counted as
-chains x branches x integration_length x sweeps.
+Headline metric: leapfrog steps/s/chip, one step = one per-branch leapfrog
+integration step (forward+backward pass + momentum update) = chains x
+branches x integration_length x sweeps.
+
+Roofline accounting (VERDICT r1 #4): matmul FLOPs per leapfrog step are
+counted from the true layer dims (fwd 2*n*P per layer; backward re-does
+every fwd matmul for dW plus the dX chain for all layers but the input:
+F_step = 3*F_fwd - 2*n*m*h0), and again from the XLA-padded dims (minor
+dims tiled to 128 lanes, second-minor to 8); the ratio is the padded-lane
+waste. MFU is reported against the chip's bf16 matmul peak (the MXU path
+XLA takes for f32 inputs at DEFAULT precision on v5e).
+
+ESS: per-parameter effective samples/s over a kept-sample window — one
+output weight per branch per chain plus the error precision — reported as
+the median and min across parameters, next to the mse-statistic ESS.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so we
-self-baseline against the reference's algorithm compiled as well as possible
-on the same chip: one chain, branches updated one at a time in a sequential
-scan (net.rs:258-334 semantics, but fully jitted — a generous stand-in for
-the ArrayFire host-driven loop, which additionally pays per-op dispatch).
-The ratio isolates the win of the TPU-native design: vectorized chains +
-block-parallel branches feeding the MXU with batched work.
+self-baseline against the reference's algorithm compiled as well as
+possible on the same chip: one chain, branches updated one at a time in a
+sequential scan (net.rs:258-334 semantics, fully jitted — generous to the
+reference, whose ArrayFire loop additionally pays per-op dispatch).
 
 Prints ONE json line on stdout; diagnostics go to stderr.
 """
@@ -41,6 +54,33 @@ def sync(tree):
     return float(np.asarray(jax.tree.leaves(tree)[0]).ravel()[0])
 
 
+# bf16 matmul peak TFLOP/s per chip (public spec sheets)
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _round_up(x, k):
+    return -(-x // k) * k
+
+
+def leapfrog_flops(n, widths, pad=False):
+    """Matmul FLOPs of ONE leapfrog step (value_and_grad of the potential)
+    for one branch: fwd = sum_l 2*n*in_l*out_l; backward = dW for every
+    layer (same cost as fwd) + the dX chain for every layer except the
+    input one. ``pad=True`` counts the XLA-tiled dims ((8,128) f32 tiles:
+    minor dim to 128 lanes, second-minor to 8 sublanes)."""
+    # padded issue: every contraction/output dim occupies full 128-lane MXU
+    # tiles (n, the batch dim, rounds to 8 sublanes — negligible at n=4096)
+    dims = [_round_up(w, 128) for w in widths] if pad else list(widths)
+    f_fwd = sum(2 * n * dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    f_dx0 = 2 * n * dims[0] * dims[1]
+    return 3 * f_fwd - f_dx0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -51,6 +91,16 @@ def main():
     from rs_bann_tpu.models.init import InitCfg, init_net
     from rs_bann_tpu.models.net import Net
     from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+    from rs_bann_tpu.vis import ess
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(kind, 197.0)
+    log(f"device: {kind} (bf16 peak {peak} TF)")
+    # warm the tunnel claim before any timed work: the first op after
+    # another process held the TPU can stall 45-130s regardless of size
+    t0 = time.time()
+    sync(jnp.zeros(8) + 1.0)
+    log(f"tunnel warm: {time.time() - t0:.1f}s")
 
     G, m, n, h, depth, C, L = 64, 64, 4096, 32, 1, 4, 64
     sweeps = 10
@@ -86,12 +136,14 @@ def main():
             lambda k: net.init_carry(X_, y_, k, state=s)
         )(ks)
     )(net.state, X, y, keys)
+    jax.block_until_ready(carry)
 
-    log(f"compiling sweep: G={G} m={m} n={n} h={h} depth={depth} C={C} L={L}")
+    log(f"sweep: G={G} m={m} n={n} h={h} d={depth} C={C} L={L}")
     t0 = time.time()
     carry, stats = sweep(carry, X, y)
     sync(stats)
-    log(f"compile+first sweep: {time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"compile+first sweep: {compile_s:.1f}s")
 
     t0 = time.time()
     for _ in range(sweeps):
@@ -100,29 +152,54 @@ def main():
     dt = time.time() - t0
     steps = sweeps * C * G * L
     steps_per_s = steps / dt
+    acc = np.asarray(stats.counts)[:, 0].sum() / (sweeps * C * G + C * G)
     log(
         f"{sweeps} sweeps in {dt:.2f}s -> {steps_per_s:,.0f} leapfrog steps/s/chip "
-        f"(mse={np.asarray(stats.mse_train).mean():.3f}, "
-        f"acc={np.asarray(stats.counts)[:, 0].sum() / (sweeps * C * G + C * G):.2f})"
+        f"(mse={np.asarray(stats.mse_train).mean():.3f}, acc={acc:.2f})"
     )
 
-    # ---- secondary: effective samples per second (north-star metric #2):
-    # ESS of the per-sweep training-mse series across kept sweeps x chains
-    from rs_bann_tpu.vis import ess
+    # ---- roofline: model FLOPs vs achieved vs chip peak
+    widths = [m, h, h, 1]  # m -> hidden -> summary -> output
+    f_true = leapfrog_flops(n, widths)
+    f_pad = leapfrog_flops(n, widths, pad=True)
+    tflops_true = steps_per_s * f_true / 1e12
+    tflops_pad = steps_per_s * f_pad / 1e12
+    mfu = tflops_pad / peak
+    log(
+        f"model FLOPs/leapfrog-step: {f_true/1e6:.1f} MF true, {f_pad/1e6:.1f} MF "
+        f"padded (lane waste {f_pad/f_true:.1f}x)"
+    )
+    log(
+        f"achieved: {tflops_true:.1f} TF/s true-work, {tflops_pad:.1f} TF/s "
+        f"padded-issue -> MFU {100*mfu:.1f}% of {kind} bf16 peak"
+    )
 
+    # ---- effective samples per second, per PARAMETER (north-star #2):
+    # one output weight per (chain, branch) + the shared error precision
     ess_sweeps = 64
-    mse_series = []
+    w_series, lam_series, mse_series = [], [], []
     t0 = time.time()
     for _ in range(ess_sweeps):
         carry, stats = sweep(carry, X, y)
+        w_series.append(carry.state.params.weights[-1][:, :, 0, 0])  # [C, G]
+        lam_series.append(carry.state.precisions.error)  # [C]
         mse_series.append(stats.mse_train)
     sync(stats)
     ess_dt = time.time() - t0
-    mse_series = np.asarray(mse_series)  # [sweeps, C]
-    ess_total = sum(ess(mse_series[:, c]) for c in range(C))
+    w_series = np.asarray(jax.device_get(w_series))  # [S, C, G]
+    lam_series = np.asarray(jax.device_get(lam_series))  # [S, C]
+    mse_series = np.asarray(jax.device_get(mse_series))  # [S, C]
+    per_param = []
+    for g in range(G):
+        per_param.append(sum(ess(w_series[:, c, g]) for c in range(C)))
+    per_param.append(sum(ess(lam_series[:, c]) for c in range(C)))
+    per_param = np.asarray(per_param)
+    ess_mse = sum(ess(mse_series[:, c]) for c in range(C)) / ess_dt
+    ess_med = float(np.median(per_param)) / ess_dt
+    ess_min = float(per_param.min()) / ess_dt
     log(
-        f"effective samples/s (mse statistic, {ess_sweeps} sweeps x {C} chains): "
-        f"{ess_total / ess_dt:.1f}"
+        f"ESS/s over {ess_sweeps} sweeps x {C} chains: per-parameter "
+        f"median {ess_med:.1f}, min {ess_min:.1f}; mse-statistic {ess_mse:.1f}"
     )
 
     # ---- self-baseline: the reference's algorithm (sequential random-scan
@@ -156,6 +233,47 @@ def main():
         f"{base_steps_per_s:,.0f} steps/s ({base_sweeps} sweeps in {base_dt:.2f}s)"
     )
 
+    # ---- packed genome-scale entry (docs/GENOME_SCALE.md shape)
+    from rs_bann_tpu.io.bed import BedVM
+    from rs_bann_tpu.group.grouping import UniformGrouping
+    from rs_bann_tpu.models.data import pack_stacked
+
+    pG, pm_, pn, pL = 100, 100, 100_000, 30
+    log(f"packed genome-scale: G={pG} m={pm_} n={pn} ridge_ard identity hybrid L={pL}")
+    bed = BedVM.random(pn, pG * pm_, seed=1)
+    grouping = UniformGrouping(pG, pm_)
+    parch = NetArch.from_width_rules(
+        [pm_] * pG, 0, ("fixed", 10), ("like_hidden",), activation="identity"
+    )
+    pstate, _ = init_net(parch, "ridge_ard", InitCfg(seed=0))
+    pnet = Net("ridge_ard", parch, D.Hyperparameters(), pstate)
+    pdata = pack_stacked(parch, bed, grouping, rng.standard_normal(pn).astype(np.float32))
+    x_gb = sum(a.nbytes for a in jax.tree.leaves(pdata.X)) / 1e9
+    pcfg = MCMCCfg(
+        chain_length=1, burn_in=10**9, hmc_integration_length=pL,
+        hmc_step_size_mode="dual_averaging", update_mode="hybrid",
+        mass_adaptation=True, seed=0,
+    )
+    psweep = jax.jit(pnet.make_sweep(pcfg))
+    pcarry = jax.jit(
+        lambda s, X_, y_, k: pnet.init_carry(
+            X_, y_, k, mass_adaptation=True, state=s
+        )
+    )(pnet.state, pdata.X, pdata.y, jax.random.key(0))
+    t0 = time.time()
+    pcarry, pstats = psweep(pcarry, pdata.X, pdata.y)
+    sync(pstats)
+    p_compile = time.time() - t0
+    log(f"packed compile+first sweep: {p_compile:.1f}s (X: {x_gb:.2f} GB HBM)")
+    p_sweeps = 3
+    t0 = time.time()
+    for _ in range(p_sweeps):
+        pcarry, pstats = psweep(pcarry, pdata.X, pdata.y)
+    sync(pstats)
+    p_dt = time.time() - t0
+    p_steps_per_s = p_sweeps * pG * pL / p_dt
+    log(f"packed: {p_steps_per_s:,.0f} leapfrog steps/s ({p_dt/p_sweeps*1e3:.0f} ms/sweep)")
+
     print(
         json.dumps(
             {
@@ -163,6 +281,23 @@ def main():
                 "value": round(steps_per_s, 1),
                 "unit": "leapfrog steps/s (fwd+bwd per branch) on G=64,m=64,n=4096,h=32,d=1,C=4",
                 "vs_baseline": round(steps_per_s / base_steps_per_s, 2),
+                "compile_s": round(compile_s, 1),
+                "tflops_true": round(tflops_true, 1),
+                "tflops_padded_issue": round(tflops_pad, 1),
+                "mfu": round(mfu, 3),
+                "pad_waste_x": round(f_pad / f_true, 2),
+                "ess_per_s": {
+                    "per_param_median": round(ess_med, 1),
+                    "per_param_min": round(ess_min, 1),
+                    "mse_stat": round(ess_mse, 1),
+                },
+                "packed": {
+                    "shape": f"G={pG},m={pm_},n={pn},ridge_ard,identity,hybrid,L={pL}",
+                    "leapfrog_steps_per_s": round(p_steps_per_s, 1),
+                    "ms_per_sweep": round(p_dt / p_sweeps * 1e3, 1),
+                    "compile_s": round(p_compile, 1),
+                    "x_hbm_gb": round(x_gb, 2),
+                },
             }
         )
     )

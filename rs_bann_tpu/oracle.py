@@ -75,12 +75,12 @@ class OracleHyper:
     """NetworkPrecisionHyperparameters (params.rs:144-163); defaults are the
     CLI's dpk/dps/spk/sps/opk/ops defaults (cli.rs:350-404)."""
 
-    dense_shape: float = 1.0
-    dense_scale: float = 1.0
-    summary_shape: float = 1.0
-    summary_scale: float = 1.0
-    output_shape: float = 1.0
-    output_scale: float = 1.0
+    dense_shape: float = 0.001
+    dense_scale: float = 1000.0
+    summary_shape: float = 0.001
+    summary_scale: float = 1000.0
+    output_shape: float = 0.001
+    output_scale: float = 1000.0
 
     def layer(self, l: int, num_layers: int):
         if l == num_layers - 1:

@@ -106,10 +106,29 @@ def _carry_specs(
     )
 
 
+def packed_x_specs(shard_branch: bool, shard_data: bool, n: int):
+    """PartitionSpec pytree for a PackedX (models/density.py).
+
+    Leaves: ``bytes`` [G, m_pad, B] (B = group-strided packed individuals),
+    ``w_scale``/``shift`` [G, m_pad]. The byte payload — the only
+    genome-scale-sized array — shards over the branch axis (each device
+    holds only its branch shard's genotypes, never a replica) and over the
+    data axis along the strided-individuals byte groups; the per-marker
+    scale/shift vectors are small and shard on branch only. ``n`` must be
+    the PackedX's static individual count (pytree aux data must match).
+    """
+    from ..models.density import PackedX
+
+    b = "branch" if shard_branch else None
+    dax = "data" if shard_data else None
+    return PackedX(P(b, None, dax), P(b, None), P(b, None), n)
+
+
 def make_sharded_sweep(
     net: Net,
     cfg: MCMCCfg,
     mesh: Mesh,
+    packed_n: Optional[int] = None,
 ):
     """Compile the sweep with mesh shardings.
 
@@ -118,10 +137,18 @@ def make_sharded_sweep(
       place_carry / place_data move host pytrees onto the mesh.
 
     With num_chains > 1 the carry must have a leading chain axis on every
-    leaf (build with vmap of net.init_carry).
+    leaf (build with vmap of net.init_carry). ``packed_n`` (the individual
+    count) switches X to a PackedX (2-bit genotypes) whose byte payload
+    shards over the branch axis instead of a dense [G, n, m_pad] array.
+
+    Branch sharding applies to both concurrent update schedules: "parallel"
+    (one vmap over all G) and "hybrid" (sequential random blocks, parallel
+    within a block — the block gathers become GSPMD collectives).
     """
     chains = cfg.num_chains > 1
-    shard_branch = cfg.update_mode == "parallel" and mesh.shape["branch"] > 1
+    shard_branch = (
+        cfg.update_mode in ("parallel", "hybrid") and mesh.shape["branch"] > 1
+    )
     shard_data = "data" in mesh.shape and mesh.shape["data"] > 1
     if shard_branch:
         assert net.arch.num_branches % mesh.shape["branch"] == 0, (
@@ -150,7 +177,10 @@ def make_sharded_sweep(
     specs = _carry_specs(dummy_carry(), chains, shard_branch, shard_data)
     b = "branch" if shard_branch else None
     dax = "data" if shard_data else None
-    x_spec = P(b, dax, None)
+    if packed_n is not None:
+        x_spec = packed_x_specs(shard_branch, shard_data, packed_n)
+    else:
+        x_spec = P(b, dax, None)
     y_spec = P(dax)
 
     def sh(spec_tree):
