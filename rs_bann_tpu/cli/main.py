@@ -484,6 +484,16 @@ def _load_genotype_args(args):
     )
 
 
+def _load_X(args, gen, arch):
+    """Dense [G, n, m_pad] or 2-bit PackedX per --packed-genotypes — every
+    analysis subcommand accepts either (round-1 gap: branch-r2/activations/
+    gradients/population-effect-sizes forced the dense materialization,
+    23.6 GB at UKB scale)."""
+    if getattr(args, "packed_genotypes", False):
+        return gen.to_packed(arch).X
+    return gen.to_stacked(arch).X
+
+
 def cmd_predict(args):
     _force_cpu_if(args.cpu)
     from ..models.net import Net
@@ -494,11 +504,7 @@ def cmd_predict(args):
     for path in _scan_models(args.model_path):
         net = Net.load(str(path))
         if X is None:
-            X = (
-                gen.to_packed(net.arch).X
-                if getattr(args, "packed_genotypes", False)
-                else gen.to_stacked(net.arch).X
-            )
+            X = _load_X(args, gen, net.arch)
         w.writerow(np.asarray(net.predict(X)).tolist())
 
 
@@ -516,7 +522,7 @@ def cmd_branch_r2(args):
         if X is None:
             import jax.numpy as jnp
 
-            X = gen.to_stacked(net.arch).X
+            X = _load_X(args, gen, net.arch)
             yj = jnp.asarray(y)
         w.writerow(np.asarray(net.branch_r2s(X, yj)).tolist())
 
@@ -532,7 +538,7 @@ def cmd_activations(args):
     for path in _scan_models(args.model_path):
         net = Net.load(str(path))
         if X is None:
-            X = gen.to_stacked(net.arch).X
+            X = _load_X(args, gen, net.arch)
         acts = net.activations(X)
         payload = [
             [a[:, : net.arch.layer_widths(g)[l]].tolist() for l, a in enumerate(branch)]
@@ -558,7 +564,7 @@ def cmd_gradients(args):
         if X is None:
             import jax.numpy as jnp
 
-            X = gen.to_stacked(net.arch).X
+            X = _load_X(args, gen, net.arch)
             yj = jnp.asarray(y)
         grads = net.gradients(X, yj)
         payload = [
@@ -586,7 +592,7 @@ def cmd_population_effect_sizes(args):
     for path in _scan_models(args.model_path):
         net = Net.load(str(path))
         if X is None:
-            X = gen.to_stacked(net.arch).X
+            X = _load_X(args, gen, net.arch)
         with open(outdir / f"{path.stem}.json", "w") as f:
             json.dump(net.population_effect_sizes(X), f)
     print(outdir)
@@ -785,6 +791,11 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("groups")
         g.add_argument("-m", "--model-path", default="./models")
         g.add_argument("--cpu", action="store_true")
+        g.add_argument(
+            "--packed-genotypes", action="store_true",
+            help="keep genotypes 2-bit packed in HBM (fused decode) — the "
+                 "only form that fits UKB-scale n",
+        )
 
     g = sub.add_parser("branch-r2", help="Per-branch r2 for each saved model.")
     bpgm(g)
@@ -795,6 +806,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("groups")
     g.add_argument("-m", "--model-path", default="./models")
     g.add_argument("--cpu", action="store_true")
+    g.add_argument(
+        "--packed-genotypes", action="store_true",
+        help="keep genotypes 2-bit packed in HBM (fused decode)",
+    )
     g.set_defaults(func=cmd_activations)
 
     g = sub.add_parser("gradients", help="Log-density gradients of saved models.")

@@ -481,15 +481,40 @@ def joint_potential_fn(model_type: str, act_name: str):
 
 
 def effect_sizes(act_name: str, weights, biases, x) -> jax.Array:
-    """d y_hat / d x, per individual: [n, m_pad].
+    """d y_hat / d x (standardized genotype scale), per individual: [n, m_pad].
 
     Equivalent to the reference's input-gradient backprop
-    (branch_sampler.rs:787-811) but via jacobian-vector algebra: since the
-    output is scalar per individual, grad of sum of outputs w.r.t. x gives
-    exactly the per-row input gradients.
+    (branch_sampler.rs:787-811). Dense path: jacobian-vector algebra — the
+    output is scalar per individual, so grad of the summed outputs w.r.t. x
+    gives exactly the per-row input gradients. Packed path: the same
+    backward chain written out explicitly (the input gradient needs only
+    the forward ACTIVATIONS and the weights, never a gradient through the
+    2-bit decode), with h' reconstructed from pre-activations where the
+    forward kept them and from the activation outputs on the fused layer-0
+    Pallas path (exact for the fusable activations).
     """
+    if not isinstance(x, PackedX):
 
-    def total_out(xx):
-        return jnp.sum(predict(act_name, weights, biases, xx))
+        def total_out(xx):
+            return jnp.sum(predict(act_name, weights, biases, xx))
 
-    return jax.grad(total_out)(x)
+        return jax.grad(total_out)(x)
+
+    from ..ops.packed_matmul import _act_prime_from_out
+
+    h = activation(act_name)
+    canon = _A.canonical(act_name)
+    pre, acts = forward(act_name, weights, biases, x)
+    num_layers = len(weights)
+    # error = d y_hat / d a_{L-2} = w_out broadcast over rows
+    err = jnp.broadcast_to(
+        weights[-1][:, 0][None, :], (acts[-1].shape[0], weights[-1].shape[0])
+    )
+    for l in range(num_layers - 2, -1, -1):
+        if pre[l] is not None:
+            hp = jax.vmap(jax.vmap(jax.grad(h)))(pre[l])
+        else:  # fused layer 0: reconstruct h' from the output
+            hp = _act_prime_from_out(canon, acts[l])
+        delta = hp * err
+        err = delta @ weights[l].T
+    return err

@@ -1113,12 +1113,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                         npar, jnp.asarray(n_precisions), hyper, st_g, ro, n_out_tot,
                     )
 
-                res, wp_new, bp_new, _ = jax.vmap(one_joint)(
+                out = jax.vmap(one_joint)(
                     hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
                     tuple(m[ixs] for m in masks_w),
                     tuple(m[ixs] for m in masks_b),
                     statics.n_params[ixs], st_b, reg_others,
                 )
+                if record_traj:
+                    (res, wp_new, bp_new, _), traj_blk = out
+                else:
+                    (res, wp_new, bp_new, _), traj_blk = out, ()
                 wp = tuple(
                     wp[l].at[ixs].set(wp_new[l]) if l < L - 1 else wp[l]
                     for l in range(L)
@@ -1162,7 +1166,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     mass,
                     traj_lens,
                 )
-                res = out[0] if record_traj else out
+                res, traj_blk = out if record_traj else (out, ())
             res_weights, res_biases, y_pred_new = (
                 res.weights, res.biases, res.y_pred
             )
@@ -1288,18 +1292,25 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 ss_z=ss_z,
                 ss_pi=c.ss_pi,
                 ss_pip=c.ss_pip,
-            ), None
+            ), traj_blk
 
-        carry, _ = jax.lax.scan(block_update, carry, perm)
+        carry, trajs = jax.lax.scan(block_update, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
-        return carry, finish(carry)
+        if record_traj:
+            # scan stacks block trajectories [R, B, ...] -> flatten to the
+            # branch-update order [G, ...]; "perm" maps rows to branch ixs
+            trajs = dict(jax.tree.map(
+                lambda a: a.reshape((G,) + a.shape[2:]), trajs
+            ))
+            trajs["perm"] = perm.reshape(-1)
+        else:
+            trajs = ()
+        return carry, finish(carry, trajs)
 
     if cfg.gradient_descent_joint and cfg.update_mode != "sequential":
         raise NotImplementedError("gradient_descent_joint requires sequential mode")
-    if record_traj and cfg.update_mode == "hybrid":
-        raise NotImplementedError("trajectory recording requires sequential or parallel mode")
 
     return {
         "sequential": sweep_sequential,
@@ -1415,17 +1426,18 @@ class Net:
         return grads
 
     def effect_sizes(self, X, state: Optional[NetState] = None):
-        """[G, n, m_pad] input gradients (branch_sampler.rs:787-811)."""
-        if isinstance(X, D.PackedX):
-            raise ValueError(
-                "effect sizes need dense genotypes (input gradients are "
-                "undefined through the packed decode); rebuild the data "
-                "with to_stacked()"
-            )
+        """[G, n, m_pad] input gradients (branch_sampler.rs:787-811).
+
+        Works on dense and packed genotypes (the input gradient only needs
+        the forward activations and the weights, never a gradient through
+        the 2-bit decode); branches are mapped with the HBM-aware strategy
+        so genome-scale n does not materialize all activations at once.
+        """
         state = state if state is not None else self.state
         act = self.arch.activation
-        return jax.vmap(lambda w, b, x: D.effect_sizes(act, w, b, x))(
-            state.params.weights, state.params.biases, X
+        return self._branch_map(
+            lambda x, w, b: D.effect_sizes(act, w, b, x),
+            X, state.params.weights, state.params.biases,
         )
 
     def population_effect_sizes(self, X, state: Optional[NetState] = None):

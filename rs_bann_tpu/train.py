@@ -664,7 +664,7 @@ def train(
                 **{**{f: None for f in TrainCarry._fields}, "state": state_k}
             )
             save_sample(carry_like, chain_ix)
-            if cfg.effect_sizes and not hasattr(X, "bytes"):
+            if cfg.effect_sizes:
                 sst = state_k if C == 1 else jax.tree.map(lambda a: a[0], state_k)
                 _write_effect_sizes(net, X, chain_ix, cfg.effect_sizes_path(), sst)
         if trace_f is not None:

@@ -188,3 +188,57 @@ def test_packed_linear_gradient(act):
     ra, ro = jax.grad(unfused, argnums=(0, 1))(a, off)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(go), np.asarray(ro), rtol=1e-4, atol=1e-5)
+
+
+def test_packed_analysis_matches_dense():
+    """effect_sizes / branch_r2s / activations / gradients agree between the
+    dense and 2-bit packed genotype forms (VERDICT r1 #6: the analysis
+    surface must not force the dense materialization at genome scale)."""
+    from rs_bann_tpu.io.bed import BedVM
+    from rs_bann_tpu.group.grouping import UniformGrouping
+    from rs_bann_tpu.models import density as D
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.data import pack_stacked
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+
+    G, m, n, h = 3, 10, 64, 4
+    bed = BedVM.random(n, G * m, seed=3)
+    grouping = UniformGrouping(G, m)
+    arch = NetArch.uniform(G, m, h, 1, h)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=2))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(n).astype(np.float32)
+
+    from rs_bann_tpu.io.genotypes import CompressedGenotypes
+
+    gen = CompressedGenotypes(bed, grouping)
+    dense = gen.to_stacked(arch, y)
+    packed = pack_stacked(arch, bed, grouping, y)
+
+    es_d = np.asarray(net.effect_sizes(dense.X))
+    es_p = np.asarray(net.effect_sizes(packed.X))
+    np.testing.assert_allclose(es_p, es_d, rtol=1e-4, atol=1e-5)
+
+    r2_d = np.asarray(net.branch_r2s(dense.X, dense.y))
+    r2_p = np.asarray(net.branch_r2s(packed.X, packed.y))
+    np.testing.assert_allclose(r2_p, r2_d, rtol=1e-4, atol=1e-5)
+
+    pes_d = net.population_effect_sizes(dense.X)
+    pes_p = net.population_effect_sizes(packed.X)
+    np.testing.assert_allclose(pes_p, pes_d, rtol=1e-4, atol=1e-5)
+
+    acts_d = net.activations(dense.X)
+    acts_p = net.activations(packed.X)
+    for g in range(G):
+        for l in range(arch.num_layers):
+            np.testing.assert_allclose(
+                acts_p[g][l], acts_d[g][l], rtol=1e-4, atol=1e-5
+            )
+
+    gr_d = net.gradients(dense.X, dense.y)
+    gr_p = net.gradients(packed.X, packed.y)
+    for g in range(G):
+        for a, b in zip(gr_d[g][0], gr_p[g][0]):
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)

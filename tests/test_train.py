@@ -370,3 +370,41 @@ def test_branch_map_sequential_path_matches_vmap():
         np.testing.assert_allclose(np.asarray(net.predict(px)), p_packed, atol=1e-5)
     finally:
         Net._branch_map = orig
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["sequential", "parallel", "hybrid"])
+def test_trajectories_all_update_modes(tmp_path, mode):
+    """--trajectories produces reference-schema traj JSONL in every update
+    schedule, including hybrid (the recommended genome-scale mode; round-1
+    gap #7). One record per branch update, params/ldg series of length L,
+    hamiltonian of length L+1, perm covering all branches."""
+    import json
+
+    G = 4
+    arch = NetArch(m=(5,) * G, h=(3,) * G, s=(3,) * G, depth=0)
+    dtr, _ = simulate(arch, "ridge_base", h2=0.7, n=100)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    L = 5
+    cfg = MCMCCfg(
+        chain_length=2, burn_in=2, hmc_integration_length=L,
+        outpath=str(tmp_path / mode), seed=2, trajectories=True,
+        update_mode=mode, block_size=2 if mode == "hybrid" else 0,
+        hmc_step_size_factor=0.1,
+    )
+    net, _ = train(net, dtr, cfg, verbose=False)
+    lines = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path / mode), "traj"))
+    ]
+    assert len(lines) == 2 * G  # chain_length x branches
+    seen = sorted(rec["branch_ix"] for rec in lines[:G])
+    assert seen == list(range(G))  # every branch recorded once per sweep
+    n_params = arch.num_params_branch(0)
+    for rec in lines:
+        assert len(rec["hamiltonian"]) == L + 1
+        assert len(rec["params"]) == L
+        assert len(rec["ldg"]) == L
+        assert len(rec["params"][0]) == n_params
+        assert np.isfinite(rec["params"]).all()
+        assert np.isfinite(rec["hamiltonian"]).all()
