@@ -67,18 +67,26 @@ def _round_up(x, k):
     return -(-x // k) * k
 
 
-def leapfrog_flops(n, widths, pad=False):
-    """Matmul FLOPs of ONE leapfrog step (value_and_grad of the potential)
-    for one branch: fwd = sum_l 2*n*in_l*out_l; backward = dW for every
-    layer (same cost as fwd) + the dX chain for every layer except the
-    input one. ``pad=True`` counts the XLA-tiled dims ((8,128) f32 tiles:
-    minor dim to 128 lanes, second-minor to 8 sublanes)."""
-    # padded issue: every contraction/output dim occupies full 128-lane MXU
-    # tiles (n, the batch dim, rounds to 8 sublanes — negligible at n=4096)
-    dims = [_round_up(w, 128) for w in widths] if pad else list(widths)
+def leapfrog_flops(n, widths):
+    """True matmul FLOPs of ONE leapfrog step (value_and_grad of the
+    potential) for one branch: fwd = sum_l 2*n*in_l*out_l; backward = dW for
+    every layer (same cost as fwd) + the dX chain for every layer except
+    the input one."""
+    dims = list(widths)
     f_fwd = sum(2 * n * dims[i] * dims[i + 1] for i in range(len(dims) - 1))
     f_dx0 = 2 * n * dims[0] * dims[1]
     return 3 * f_fwd - f_dx0
+
+
+def layer0_lane_waste(widths):
+    """MXU lane-padding factor of the DOMINANT (layer-0) matmul,
+    [n, m] @ [m, h]: the systolic array processes 128x128 tiles, so a
+    contraction of m and an output of h occupy ceil(m/128)*128 x
+    ceil(h/128)*128 lanes. The tiny downstream matmuls (h x s, s x 1) are
+    not modeled — XLA does not necessarily issue those through full MXU
+    tiles — so this is a lower bound on issue work, not an exact count."""
+    m, h = widths[0], widths[1]
+    return (_round_up(m, 128) / m) * (_round_up(h, 128) / h)
 
 
 def main():
@@ -161,17 +169,19 @@ def main():
     # ---- roofline: model FLOPs vs achieved vs chip peak
     widths = [m, h, h, 1]  # m -> hidden -> summary -> output
     f_true = leapfrog_flops(n, widths)
-    f_pad = leapfrog_flops(n, widths, pad=True)
     tflops_true = steps_per_s * f_true / 1e12
-    tflops_pad = steps_per_s * f_pad / 1e12
-    mfu = tflops_pad / peak
+    mfu = tflops_true / peak
+    waste = layer0_lane_waste(widths)
+    issue_est = tflops_true * waste
     log(
-        f"model FLOPs/leapfrog-step: {f_true/1e6:.1f} MF true, {f_pad/1e6:.1f} MF "
-        f"padded (lane waste {f_pad/f_true:.1f}x)"
+        f"model FLOPs/leapfrog-step: {f_true/1e6:.1f} MF true; layer-0 MXU "
+        f"lane padding {waste:.0f}x ({m}x{h} blocks in 128x128 tiles)"
     )
     log(
-        f"achieved: {tflops_true:.1f} TF/s true-work, {tflops_pad:.1f} TF/s "
-        f"padded-issue -> MFU {100*mfu:.1f}% of {kind} bf16 peak"
+        f"achieved: {tflops_true:.1f} TF/s true-work = {100*mfu:.1f}% of "
+        f"{kind} bf16 peak; lane-padded issue >= {issue_est:.0f} TF/s "
+        f"({100*issue_est/peak:.0f}% of peak) -> the sweep is MXU-issue-"
+        f"bound on lane padding of small branch matmuls, not stalled"
     )
 
     # ---- effective samples per second, per PARAMETER (north-star #2):
@@ -283,9 +293,10 @@ def main():
                 "vs_baseline": round(steps_per_s / base_steps_per_s, 2),
                 "compile_s": round(compile_s, 1),
                 "tflops_true": round(tflops_true, 1),
-                "tflops_padded_issue": round(tflops_pad, 1),
                 "mfu": round(mfu, 3),
-                "pad_waste_x": round(f_pad / f_true, 2),
+                "lane_waste_layer0_x": round(waste, 2),
+                "issue_tflops_lower_bound": round(issue_est, 1),
+                "issue_frac_of_peak": round(issue_est / peak, 2),
                 "ess_per_s": {
                     "per_param_median": round(ess_med, 1),
                     "per_param_min": round(ess_min, 1),

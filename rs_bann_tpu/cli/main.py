@@ -119,6 +119,17 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    help="force all branches included for the first N sweeps "
                    "(-1 = half the burn-in) so summary projections align "
                    "with their signal before selection starts")
+    p.add_argument("--ss-markers", action="store_true",
+                   help="PER-MARKER spike-and-slab: exact collapsed conjugate "
+                   "Gibbs on layer-0 rows (identity depth-0 ridge_ard/"
+                   "std-normal branches); marker PIPs land in "
+                   "<run>/inclusion_probs as pip_markers")
+    p.add_argument("--ssm-pi", type=float, default=0.5,
+                   help="prior marker-inclusion probability (Beta(1,1) "
+                   "Gibbs-updated unless --ssm-fixed-pi)")
+    p.add_argument("--ssm-fixed-pi", action="store_true")
+    p.add_argument("--ssm-warmup", type=int, default=0,
+                   help="force all markers included for the first N sweeps")
     p.add_argument("--tempering", action="store_true",
                    help="parallel tempering over the chain axis (slot 0 cold; "
                    "needs --num-chains >= 2; saved samples = cold chain only)")
@@ -208,6 +219,10 @@ def _mcmc_cfg_from_args(args, outpath: str):
         ss_pi=args.ss_pi,
         ss_update_pi=not args.ss_fixed_pi,
         ss_warmup=args.ss_warmup,
+        ss_markers=args.ss_markers,
+        ssm_pi=args.ssm_pi,
+        ssm_fixed_pi=args.ssm_fixed_pi,
+        ssm_warmup=args.ssm_warmup,
     )
 
 
@@ -228,6 +243,8 @@ def _run_outdir_name(args) -> str:
         name += f"_{args.traj_length_mode}"
     if args.spike_slab:
         name += "_ss"
+    if args.ss_markers:
+        name += "_ssm"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:
@@ -439,6 +456,8 @@ def cmd_train(args):
         name += f"_{args.traj_length_mode}"
     if args.spike_slab:
         name += "_ss"
+    if args.ss_markers:
+        name += "_ssm"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:

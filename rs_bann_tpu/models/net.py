@@ -80,6 +80,13 @@ class TrainCarry(NamedTuple):
     ss_z: jax.Array  # [G] float32 in {0, 1}
     ss_pi: jax.Array  # scalar
     ss_pip: jax.Array  # [G]
+    # per-marker spike-and-slab state (cfg.ss_markers): layer-0 row
+    # inclusion indicators, the marker-level prior inclusion probability,
+    # and the post-burn-in running mean of z_m; [G, 0] placeholders when
+    # the feature is off so the pytree stays uniform
+    ssm_z: jax.Array = ()  # [G, m_pad] float32 in {0, 1}
+    ssm_pi: jax.Array = ()  # scalar
+    ssm_pip: jax.Array = ()  # [G, m_pad]
 
 
 # dual-averaging constants (Hoffman & Gelman 2014, NUTS paper defaults)
@@ -207,6 +214,97 @@ def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask,
     return z, w_new, log_bf
 
 
+def _marker_ss_scan(
+    key, x_g, W0, b0, w_out_col, target, lam_e, lam_rows, pi_m, row_mask,
+    col_mask0, force_include,
+):
+    """Sequential collapsed conjugate Gibbs over one branch's layer-0 rows
+    (markers), for identity-activation depth-0 branches (cfg.ss_markers).
+
+    The branch output is pred = X (W0 w) + b0·w with w = w_out, so row
+    W0[j] enters the likelihood only through its component a_j along
+    ŵ = w/|w| (effective marker effect β_j = a_j·|w|). Per marker, in a
+    fresh random order against a LIVE residual:
+
+      * collapse a_j under the slab N(0, 1/λ_j):
+          q_a = λ_j + λ_e·(x_jᵀx_j)·|w|²,  u = x_jᵀ e_{-j}
+          log BF = ½ log(λ_j/q_a) + ½ (λ_e|w|u)²/q_a
+      * z_j ~ Bern(σ(logit π_m + log BF))
+      * slab row: a_j ~ N(λ_e|w|u/q_a, 1/q_a) along ŵ, PRIOR N(0, λ_j^{-1})
+        in the orthogonal complement (likelihood-unidentified); spike: 0.
+
+    ``x_g`` is dense [n, m_pad] or a PackedX slice (columns decode on the
+    fly). Returns (z [m_pad], W0_new, e_final) with e_final = target − pred
+    at the updated W0 (exact by construction of the live residual).
+    """
+    m_pad, s_pad = W0.shape
+    w = w_out_col[:, 0]  # [s_pad]
+    wn2 = jnp.dot(w, w)
+    wn2_safe = jnp.maximum(wn2, 1e-30)
+    wnorm = jnp.sqrt(wn2_safe)
+    what = w / wnorm
+
+    packed = isinstance(x_g, D.PackedX)
+    if packed:
+        from ..ops.packed_matmul import unpack_strided
+
+        n = x_g.n
+        nf = jnp.asarray(float(n))
+        # standardized columns have ssq exactly n (population std); padded /
+        # zero-variance markers have w_scale == 0
+        sxx = jnp.where(x_g.w_scale > 0, nf, 0.0)
+
+        def col(j):
+            raw = unpack_strided(x_g.bytes[j][None, :], n)[0]
+            return (raw - x_g.shift[j]) * x_g.w_scale[j]
+
+    else:
+        sxx = jnp.sum(x_g * x_g, axis=0)
+
+        def col(j):
+            return x_g[:, j]
+
+    pred = D.predict("identity", (W0, w_out_col), (b0,), x_g)
+    e0 = target - pred
+    k_perm, k_scan = jax.random.split(key)
+    order = jax.random.permutation(k_perm, m_pad)
+
+    def body(carry, j):
+        e, W0_c, z_c = carry
+        kj = jax.random.fold_in(k_scan, j)
+        k_z, k_a, k_o = jax.random.split(kj, 3)
+        x_j = col(j)
+        row = W0_c[j]
+        e_mj = e + x_j * jnp.dot(row, w)
+        u = jnp.dot(x_j, e_mj)
+        # floor: protects against an underflowed slab precision (see the
+        # prior-draw clip in _gibbs_local_precisions)
+        lam_j = jnp.maximum(lam_rows[j], 1e-6)
+        q_a = lam_j + lam_e * sxx[j] * wn2
+        log_bf = (
+            0.5 * jnp.log(lam_j / q_a)
+            + 0.5 * (lam_e * wnorm * u) ** 2 / q_a
+        )
+        logit = jnp.log(pi_m) - jnp.log1p(-pi_m) + log_bf
+        zj = jnp.where(
+            force_include,
+            1.0,
+            jax.random.bernoulli(k_z, jax.nn.sigmoid(logit)).astype(jnp.float32),
+        )
+        zj = zj * row_mask[j]  # padded markers never enter
+        a = lam_e * wnorm * u / q_a + jax.random.normal(k_a, ()) / jnp.sqrt(q_a)
+        xi = jax.random.normal(k_o, row.shape) / jnp.sqrt(lam_j) * col_mask0
+        xi = xi - jnp.dot(xi, what) * what
+        new_row = jnp.where(zj > 0, a * what + xi, 0.0)
+        e_new = e_mj - x_j * jnp.dot(new_row, w)
+        return (e_new, W0_c.at[j].set(new_row), z_c.at[j].set(zj)), None
+
+    (e_f, W0_f, z_f), _ = jax.lax.scan(
+        body, (e0, W0, jnp.zeros(m_pad)), order
+    )
+    return z_f, W0_f, e_f
+
+
 def _welford(mean, m2, x, n):
     """One Welford update at new count ``n`` (elementwise over any shape)."""
     delta = x - mean
@@ -232,11 +330,19 @@ class SweepStats(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-def _gibbs_local_precisions(key, model_type, w_g, b_g, statics_g, hyper, num_layers):
+def _gibbs_local_precisions(
+    key, model_type, w_g, b_g, statics_g, hyper, num_layers, z_rows0=None
+):
     """Per-branch Gibbs update of local weight+bias precisions.
 
     ridge_base.rs:235-253, ridge_ard.rs:271-301, lasso_base.rs:235-253,
     lasso_ard.rs. Bias precisions are always ridge-updated.
+
+    ``z_rows0`` (per-marker spike-and-slab): [in_pad] inclusion indicators
+    for layer 0 — an EXCLUDED row is the spike δ₀, not a slab draw, so its
+    precision's conditional is the PRIOR Gamma(shape, scale) (treating the
+    zero row as data would drive λ_j → large and bar re-entry through the
+    collapsed move's Bayes factor).
     """
     L = num_layers
     keys = jax.random.split(key, 2 * (L - 1))
@@ -252,6 +358,19 @@ def _gibbs_local_precisions(key, model_type, w_g, b_g, statics_g, hyper, num_lay
             else:
                 ssq_rows = jnp.sum(w * w, axis=1, keepdims=True)
                 lam = gibbs.ridge_precision_posterior(keys[l], shape, scale, ssq_rows, ncols)
+            if l == 0 and z_rows0 is not None:
+                k_prior = jax.random.fold_in(keys[l], 0x55)
+                # clip: the CLI-default Gamma(0.001, 1000) hyperprior is
+                # nearly improper — half its mass underflows f32 to exactly
+                # 0, and a 0 slab precision makes the re-entry draw's
+                # orthogonal component infinite. The clipped draw is the
+                # prior conditioned on λ ∈ [1e-6, 1e8], which data-informed
+                # draws never leave anyway.
+                lam_prior = jnp.clip(
+                    jax.random.gamma(k_prior, shape, lam.shape) * scale,
+                    1e-6, 1e8,
+                )
+                lam = jnp.where(z_rows0[:, None] > 0, lam, lam_prior)
         else:
             nvar = statics_g.w_counts[l]
             if D.is_lasso(model_type):
@@ -373,6 +492,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             "spike_slab needs a Gaussian (conjugate) slab on the output "
             "layer; lasso models have a Laplace output prior"
         )
+    ssm_on = cfg.ss_markers and not (
+        cfg.joint_hmc or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
+    if ssm_on:
+        assert arch.depth == 0 and arch.activation == "identity", (
+            "ss_markers needs the identity depth-0 architecture (the branch "
+            "output must be linear in each layer-0 row for the collapsed "
+            "conjugate move; docs/GENOME_SCALE.md production recipe)"
+        )
+        assert D.is_ard(model_type) or model_type == "std_normal", (
+            "ss_markers needs per-row slab precisions (ridge_ard) or fixed "
+            "unit precisions (std_normal)"
+        )
+        assert not D.is_lasso(model_type), (
+            "ss_markers needs Gaussian row priors (conjugate slab)"
+        )
     out_w_counts = statics_h.w_counts[L - 1]  # [G] true output weights per branch
 
     if cfg.gradient_descent:
@@ -425,8 +560,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     def branch_update(carry: TrainCarry, g, X, y, statics, masks_w, masks_b):
         state, residual = carry.state, carry.residual
         params, precisions = state.params, state.precisions
-        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior) = (
-            jax.random.split(carry.key, 9)
+        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior, k_ssm) = (
+            jax.random.split(carry.key, 10)
         )
 
         w_g = tuple(w[g] for w in params.weights)
@@ -449,7 +584,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         err_hmc = err_prec * carry.beta if temper else err_prec
         if sample_local:
             new_wp_g, new_bp_g = _gibbs_local_precisions(
-                k_loc, model_type, w_g, b_g, st_g, hyper, L
+                k_loc, model_type, w_g, b_g, st_g, hyper, L,
+                z_rows0=carry.ssm_z[g] if ssm_on else None,
             )
             wp = tuple(
                 wp[l].at[g].set(new_wp_g[l]) if l < L - 1 else wp[l]
@@ -473,7 +609,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         wp_g = tuple(a[g] for a in wp)
         bp_g = tuple(a[g] for a in bp)
 
-        if ss_on:
+        if ss_on and not ssm_on:
             # one forward serves both the old prediction and the summary
             # activations A for the collapsed move
             _, acts0 = D.forward(act, w_g, b_g, x_g)
@@ -481,6 +617,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         else:
             pred_old = D.predict(act, w_g, b_g, x_g)
         target = residual + pred_old
+
+        ssm_z = carry.ssm_z
+        if ssm_on:
+            # per-marker collapsed (z_j, W0[j]) scan against a live residual,
+            # conditioning on the current output layer; HMC below then moves
+            # the remaining coordinates with excluded rows frozen
+            lam_rows = jnp.broadcast_to(wp_g[0][:, 0], (w_g[0].shape[0],))
+            z_m, W0_new, _ = _marker_ss_scan(
+                k_ssm, x_g, w_g[0], b_g[0], w_g[-1], target, err_hmc,
+                lam_rows, carry.ssm_pi, st_g.row_masks[0][:, 0], mb_g[0],
+                carry.da_t < float(cfg.ssm_warmup),
+            )
+            w_g = (W0_new,) + w_g[1:]
+            ssm_z = ssm_z.at[g].set(z_m)
+            if ss_on:  # branch-level move needs A at the UPDATED layer 0
+                _, acts0 = D.forward(act, w_g, b_g, x_g)
 
         ss_z = carry.ss_z
         if ss_on:
@@ -555,6 +707,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     k_len, carry.tl_avg[g], L_int, cfg.hmc_traj_length_mode
                 )
                 kw["traj_len"] = traj_len
+            if ssm_on:
+                kw["row_freeze"] = z_m
             out = transition(
                 k_hmc, w_g, b_g, wp_g, bp_g, err_hmc, x_g, target,
                 mw_g, mb_g, st_g.n_params, step_factor, *extra, **kw,
@@ -571,6 +725,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 / jnp.sqrt(wp_g[l]) * mw_g[l]
                 for l in range(L - 1)
             ]
+            if ssm_on:  # spiked rows stay exactly 0 in the prior redraw too
+                prior_w[0] = prior_w[0] * z_m[:, None]
             res_weights = tuple(
                 jnp.where(inc, res.weights[l], prior_w[l]) for l in range(L - 1)
             ) + (w_out_new,)
@@ -669,6 +825,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             ss_z=ss_z,
             ss_pi=carry.ss_pi,
             ss_pip=carry.ss_pip,
+            ssm_z=ssm_z,
+            ssm_pi=carry.ssm_pi,
+            ssm_pip=carry.ssm_pip,
         )
         return new_carry, (traj if record_traj else ())
 
@@ -690,6 +849,29 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
         return carry._replace(ss_pi=pi, ss_pip=pip)
 
+    marker_rows = statics_h.row_masks[0][:, :, 0]  # [G, m_pad] numpy
+    n_markers_tot = float(marker_rows.sum())
+
+    def ssm_sweep_end(carry: TrainCarry, k_pi) -> TrainCarry:
+        """Marker-level π_m Beta(1,1) Gibbs draw + per-marker PIP running
+        mean; call after da_t was incremented."""
+        pi = carry.ssm_pi
+        if not cfg.ssm_fixed_pi:
+            nz = jnp.sum(carry.ssm_z * marker_rows)
+            # lower clip well below 1/M: genome-scale truths can be <1%
+            pi = jnp.clip(
+                jax.random.beta(k_pi, 1.0 + nz, 1.0 + n_markers_tot - nz),
+                1e-4, 0.999,
+            )
+        post_k = carry.da_t - burn_f
+        pip = jnp.where(
+            post_k > 0.0,
+            carry.ssm_pip
+            + (carry.ssm_z - carry.ssm_pip) / jnp.maximum(post_k, 1.0),
+            carry.ssm_pip,
+        )
+        return carry._replace(ssm_pi=pi, ssm_pip=pip)
+
     def finish(carry: TrainCarry, traj=()) -> SweepStats:
         n = jnp.asarray(carry.residual.shape[0], jnp.float32)
         return SweepStats(
@@ -703,7 +885,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     # ---------------------------------------------------------- sequential
     def sweep_sequential(carry: TrainCarry, X, y):
         statics, masks_w, masks_b = _device_consts()
-        key, k_perm, k_pi = jax.random.split(carry.key, 3)
+        key, k_perm, k_pi, k_pim = jax.random.split(carry.key, 4)
         carry = carry._replace(key=key)
         perm = jax.random.permutation(k_perm, G)
 
@@ -714,6 +896,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         carry = carry._replace(da_t=carry.da_t + 1.0)
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
+        if ssm_on:
+            carry = ssm_sweep_end(carry, k_pim)
         if record_traj:
             trajs = dict(trajs)
             trajs["perm"] = perm
@@ -724,9 +908,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         statics, masks_w, masks_b = _device_consts()
         state = carry.state
         params, precisions = state.params, state.precisions
-        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_pi, k_prior) = (
-            jax.random.split(carry.key, 10)
-        )
+        (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_pi,
+         k_prior, k_ssm, k_pim) = jax.random.split(carry.key, 12)
 
         # shared scalar Gibbs draws once per sweep, from the snapshot
         err_prec = precisions.error
@@ -749,14 +932,17 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         if sample_local:
             loc_keys = jax.random.split(k_loc, G)
 
-            def draw_local(k, w_g, b_g, st_g):
-                return _gibbs_local_precisions(k, model_type, w_g, b_g, st_g, hyper, L)
+            def draw_local(k, w_g, b_g, st_g, z0):
+                return _gibbs_local_precisions(
+                    k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
+                )
 
             new_wp, new_bp = jax.vmap(draw_local)(
                 loc_keys,
                 tuple(params.weights[l] for l in range(L)),
                 tuple(params.biases[l] for l in range(L - 1)),
                 statics,
+                carry.ssm_z if ssm_on else None,
             )
             wp = tuple(new_wp[l] if l < L - 1 else wp[l] for l in range(L))
             bp = tuple(new_bp)
@@ -773,7 +959,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         # per-branch predictions from the snapshot; frozen residual base
         ss_z = carry.ss_z
-        if ss_on:
+        if ss_on and not ssm_on:
             # one forward serves both the snapshot predictions and the
             # summary activations A of the collapsed (z, w_out) move (see
             # the sequential path for the rationale); HMC below only
@@ -787,6 +973,36 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 params.weights, params.biases, X
             )  # [G, n]
         targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
+
+        ssm_z = carry.ssm_z
+        z_m = None
+        if ssm_on:
+            # per-marker collapsed scans, vmapped over branches, each a
+            # live-residual random scan within its branch (see the
+            # sequential path)
+            ssm_keys = jax.random.split(k_ssm, G)
+            lam_rows_all = jnp.broadcast_to(
+                wp[0][:, :, 0], (G, arch.m_pad)
+            )
+            ssm_force = carry.da_t < float(cfg.ssm_warmup)
+            z_m, W0_new, _ = jax.vmap(
+                lambda k, x, W0, b0, wo, t, lr, rm, cm: _marker_ss_scan(
+                    k, x, W0, b0, wo, t, err_hmc, lr, carry.ssm_pi, rm, cm,
+                    ssm_force,
+                )
+            )(
+                ssm_keys, X, params.weights[0], params.biases[0],
+                params.weights[-1], targets, lam_rows_all,
+                statics.row_masks[0][:, :, 0], masks_b[0],
+            )
+            params = StackedParams(
+                (W0_new,) + params.weights[1:], params.biases
+            )
+            ssm_z = z_m
+            if ss_on:  # branch-level move needs A at the UPDATED layer 0
+                A_all = jax.vmap(
+                    lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                )(params.weights, params.biases, X)
 
         if ss_on:
             ss_keys = jax.random.split(k_ss, G)
@@ -845,12 +1061,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
 
             def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac,
-                    mass, tl):
+                    mass, tl, rf):
                 kw = {}
                 if mass is not None:
                     kw["mass_w"], kw["mass_b"] = mass
                 if tl is not None:
                     kw["traj_len"] = tl
+                if rf is not None:
+                    kw["row_freeze"] = rf
                 return transition(
                     k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g, npar,
                     fac if adaptive else None, **kw,
@@ -878,6 +1096,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 step_factors,
                 mass,
                 traj_lens,
+                z_m,
             )
             if record_traj:
                 res, trajs = out
@@ -893,13 +1112,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             sel = lambda a, b_: jnp.where(
                 inc.reshape((G,) + (1,) * (a.ndim - 1)), a, b_
             )
-            res_weights = tuple(
-                sel(
-                    res.weights[l],
-                    jax.random.normal(pks[l], params.weights[l].shape)
-                    / jnp.sqrt(wp[l]) * masks_w[l],
-                )
+            prior_ws = [
+                jax.random.normal(pks[l], params.weights[l].shape)
+                / jnp.sqrt(wp[l]) * masks_w[l]
                 for l in range(L - 1)
+            ]
+            if ssm_on:  # spiked rows stay exactly 0 in the prior redraw too
+                prior_ws[0] = prior_ws[0] * z_m[:, :, None]
+            res_weights = tuple(
+                sel(res.weights[l], prior_ws[l]) for l in range(L - 1)
             ) + (params.weights[-1],)
             res_biases = tuple(
                 sel(res.biases[l], params.biases[l]) for l in range(L - 1)
@@ -987,9 +1208,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             ss_z=ss_z,
             ss_pi=carry.ss_pi,
             ss_pip=carry.ss_pip,
+            ssm_z=ssm_z,
+            ssm_pi=carry.ssm_pi,
+            ssm_pip=carry.ssm_pip,
         )
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
+        if ssm_on:
+            carry = ssm_sweep_end(carry, k_pim)
         return carry, finish(carry, trajs)
 
     # ------------------------------------------------------------- hybrid
@@ -1003,16 +1229,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         B = cfg.block_size if cfg.block_size > 0 else default_block_size(G)
         assert G % B == 0, f"block_size {B} must divide num_branches {G}"
         R = G // B
-        key, k_perm, k_pi = jax.random.split(carry.key, 3)
+        key, k_perm, k_pi, k_pim = jax.random.split(carry.key, 4)
         carry = carry._replace(key=key)
         perm = jax.random.permutation(k_perm, G).reshape(R, B)
 
         def block_update(c: TrainCarry, ixs):
             state, residual = c.state, c.residual
             params, precisions = state.params, state.precisions
-            (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior) = (
-                jax.random.split(c.key, 9)
-            )
+            (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior,
+             k_ssm) = jax.random.split(c.key, 10)
 
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
@@ -1036,12 +1261,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             if sample_local:
                 loc_keys = jax.random.split(k_loc, B)
 
-                def draw_local(k, w_g, b_g, st_g):
+                def draw_local(k, w_g, b_g, st_g, z0):
                     return _gibbs_local_precisions(
-                        k, model_type, w_g, b_g, st_g, hyper, L
+                        k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
                     )
 
-                new_wp, new_bp = jax.vmap(draw_local)(loc_keys, w_b, b_b, st_b)
+                new_wp, new_bp = jax.vmap(draw_local)(
+                    loc_keys, w_b, b_b, st_b,
+                    c.ssm_z[ixs] if ssm_on else None,
+                )
                 wp = tuple(
                     wp[l].at[ixs].set(new_wp[l]) if l < L - 1 else wp[l]
                     for l in range(L)
@@ -1062,7 +1290,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             bp_b = tuple(a[ixs] for a in bp)
             x_b = X[ixs]
             ss_z = c.ss_z
-            if ss_on:
+            if ss_on and not ssm_on:
                 # one forward serves both the block predictions and the
                 # summary activations A of the collapsed move; HMC applies
                 # to included branches only (see the sequential path)
@@ -1075,6 +1303,33 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     w_b, b_b, x_b
                 )  # [B, n]
             targets = residual[None, :] + preds
+
+            ssm_z = c.ssm_z
+            z_m = None
+            if ssm_on:
+                # per-marker collapsed scans for the block (see the
+                # sequential path)
+                ssm_keys = jax.random.split(k_ssm, B)
+                lam_rows_b = jnp.broadcast_to(
+                    wp[0][:, :, 0], (G, arch.m_pad)
+                )[ixs]
+                ssm_force = c.da_t < float(cfg.ssm_warmup)
+                z_m, W0_new, _ = jax.vmap(
+                    lambda k, x, W0, b0, wo, t, lr, rm, cm: _marker_ss_scan(
+                        k, x, W0, b0, wo, t, err_hmc, lr, c.ssm_pi, rm, cm,
+                        ssm_force,
+                    )
+                )(
+                    ssm_keys, x_b, w_b[0], b_b[0], w_b[-1], targets,
+                    lam_rows_b, statics.row_masks[0][ixs][:, :, 0],
+                    masks_b[0][ixs],
+                )
+                w_b = (W0_new,) + w_b[1:]
+                ssm_z = ssm_z.at[ixs].set(z_m)
+                if ss_on:  # branch move needs A at the UPDATED layer 0
+                    A_blk = jax.vmap(
+                        lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                    )(w_b, b_b, x_b)
 
             if ss_on:
                 ss_keys = jax.random.split(k_ss, B)
@@ -1138,12 +1393,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 )
 
                 def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar,
-                        fac, mass, tl):
+                        fac, mass, tl, rf):
                     kw = {}
                     if mass is not None:
                         kw["mass_w"], kw["mass_b"] = mass
                     if tl is not None:
                         kw["traj_len"] = tl
+                    if rf is not None:
+                        kw["row_freeze"] = rf
                     return transition(
                         k, w_g, b_g, wp_g, bp_g, err_hmc, x_g, t_g, mw_g, mb_g,
                         npar, fac if adaptive else None, **kw,
@@ -1165,6 +1422,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     step_factors,
                     mass,
                     traj_lens,
+                    z_m,
                 )
                 res, traj_blk = out if record_traj else (out, ())
             res_weights, res_biases, y_pred_new = (
@@ -1177,13 +1435,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 sel = lambda a, b_: jnp.where(
                     inc.reshape((B,) + (1,) * (a.ndim - 1)), a, b_
                 )
-                res_weights = tuple(
-                    sel(
-                        res.weights[l],
-                        jax.random.normal(pks[l], w_b[l].shape)
-                        / jnp.sqrt(wp_b[l]) * masks_w[l][ixs],
-                    )
+                prior_ws = [
+                    jax.random.normal(pks[l], w_b[l].shape)
+                    / jnp.sqrt(wp_b[l]) * masks_w[l][ixs]
                     for l in range(L - 1)
+                ]
+                if ssm_on:  # spiked rows stay exactly 0
+                    prior_ws[0] = prior_ws[0] * z_m[:, :, None]
+                res_weights = tuple(
+                    sel(res.weights[l], prior_ws[l]) for l in range(L - 1)
                 ) + (w_b[-1],)
                 res_biases = tuple(
                     sel(res.biases[l], b_b[l]) for l in range(L - 1)
@@ -1292,12 +1552,17 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 ss_z=ss_z,
                 ss_pi=c.ss_pi,
                 ss_pip=c.ss_pip,
+                ssm_z=ssm_z,
+                ssm_pi=c.ssm_pi,
+                ssm_pip=c.ssm_pip,
             ), traj_blk
 
         carry, trajs = jax.lax.scan(block_update, carry, perm)
         carry = carry._replace(da_t=carry.da_t + 1.0)
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
+        if ssm_on:
+            carry = ssm_sweep_end(carry, k_pim)
         if record_traj:
             # scan stacks block trajectories [R, B, ...] -> flatten to the
             # branch-update order [G, ...]; "perm" maps rows to branch ixs
@@ -1539,6 +1804,8 @@ class Net:
         beta=1.0,
         ss_pi: float = 0.5,
         state: Optional[NetState] = None,
+        ss_markers: bool = False,
+        ssm_pi: float = 0.5,
     ) -> TrainCarry:
         """residual = y − bias − Σ_g pred_g and initial LPD (net.rs:158-171).
 
@@ -1609,6 +1876,10 @@ class Net:
             ss_z=jnp.ones(G),
             ss_pi=jnp.asarray(ss_pi, jnp.float32),
             ss_pip=jnp.zeros(G),
+            # per-marker spike-and-slab ([G, 0] placeholders when off)
+            ssm_z=jnp.ones((G, self.arch.m_pad if ss_markers else 0)),
+            ssm_pi=jnp.asarray(ssm_pi, jnp.float32),
+            ssm_pip=jnp.zeros((G, self.arch.m_pad if ss_markers else 0)),
         )
 
     def make_sweep(self, cfg: MCMCCfg):

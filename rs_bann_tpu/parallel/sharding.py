@@ -103,6 +103,9 @@ def _carry_specs(
         ss_z=P(c, b) if chains else P(b),
         ss_pi=P(c) if chains else P(),
         ss_pip=P(c, b) if chains else P(b),
+        ssm_z=P(c, b, None) if chains else P(b, None),
+        ssm_pi=P(c) if chains else P(),
+        ssm_pip=P(c, b, None) if chains else P(b, None),
     )
 
 

@@ -250,6 +250,7 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
         mass_w=None,
         mass_b=None,
         traj_len=None,
+        row_freeze=None,
     ):
         """``traj_len`` (traced int scalar, 1..L) truncates the trajectory to
         that many leapfrog steps by freezing the scan carry — the compiled
@@ -267,6 +268,17 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
         if freeze_output:
             eps_w = eps_w[:-1] + (jnp.zeros_like(eps_w[-1]),)
             masks_w = masks_w[:-1] + (jnp.zeros_like(masks_w[-1]),)
+        if row_freeze is not None:
+            # per-marker spike-and-slab: excluded layer-0 rows are pinned at
+            # the spike (zero step size AND zero momentum — the leapfrog
+            # provably leaves them at exactly 0); the collapsed conjugate
+            # move owns their re-entry (models/net.py _marker_ss_scan)
+            fr = row_freeze[:, None]
+            # where, not multiply: an excluded row's PRIOR-drawn ARD
+            # precision can be ~0, making its izmailov ε infinite — inf·0
+            # is NaN and would poison the whole leapfrog
+            eps_w = (jnp.where(fr > 0, eps_w[0], 0.0),) + eps_w[1:]
+            masks_w = (masks_w[0] * fr,) + masks_w[1:]
         mkeys = jax.random.split(k_mom, len(weights) + len(biases))
         p_w = tuple(
             jax.random.normal(k, w.shape) * m

@@ -83,6 +83,28 @@ class MCMCCfg:
     # excluded early can never re-enter (measured: total collapse on diffuse
     # genetic architectures). The collapsed w_out draw still runs during the
     # forced phase (a plain conjugate Gibbs move on the output layer).
+    ss_markers: bool = False  # TPU extension: PER-MARKER (within-branch)
+    # spike-and-slab. For identity-activation depth-0 branches (the
+    # genome-scale production architecture, docs/GENOME_SCALE.md) the
+    # branch output is linear in each layer-0 row W0[j]: only the component
+    # along w_out is likelihood-identified, so each marker's indicator z_j
+    # has an EXACT collapsed conjugate Gibbs move — the row is integrated
+    # out for the Bayes factor (spike δ₀ vs slab N(0, λ_j^{-1} I)), z_j is
+    # drawn, and the row is redrawn from its conditional Gaussian (posterior
+    # along w_out, prior in the orthogonal complement). Runs as a sequential
+    # random-scan over the branch's markers against a live residual; HMC
+    # then moves the remaining coordinates with excluded rows frozen, and
+    # the ARD row precisions of excluded rows are drawn from their prior.
+    # Per-marker posterior inclusion probabilities land in
+    # <outpath>/inclusion_probs under "pip_markers". Marginal HMC +
+    # ridge/std_normal models + identity activation + depth 0 only.
+    ssm_pi: float = 0.5  # prior marker-inclusion probability (Gibbs-updated
+    # under Beta(1,1) once per sweep unless ssm_fixed_pi)
+    ssm_fixed_pi: bool = False
+    ssm_warmup: int = 0  # force all markers included for the first N sweeps
+    # (markers need no projection-alignment warmup — their evidence flows
+    # through x_j directly — so the default is off, unlike branch-level
+    # ss_warmup)
     tempering: bool = False  # TPU extension: parallel tempering (replica
     # exchange) across the chain axis. Chain slot c targets the tempered
     # posterior p(θ)·L(θ)^β_c with a geometric ladder β_c from 1 down to
@@ -119,6 +141,13 @@ class MCMCCfg:
             assert 0.0 < self.ss_pi < 1.0, "ss_pi must be in (0, 1)"
             if self.ss_warmup < 0:
                 object.__setattr__(self, "ss_warmup", self.burn_in // 2)
+        if self.ss_markers:
+            assert not (
+                self.joint_hmc
+                or self.gradient_descent
+                or self.gradient_descent_joint
+            ), "ss_markers applies to marginal HMC only"
+            assert 0.0 < self.ssm_pi < 1.0, "ssm_pi must be in (0, 1)"
         assert self.hmc_traj_length_mode in ("fixed", "jittered", "uturn")
         if self.hmc_traj_length_mode != "fixed":
             assert not (

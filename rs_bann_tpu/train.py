@@ -418,6 +418,7 @@ def train(
             lambda s, X_, y_, k: net.init_carry(
                 X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
                 ss_pi=cfg.ss_pi, state=s,
+                ss_markers=cfg.ss_markers, ssm_pi=cfg.ssm_pi,
             )
         )(net.state, X, y, key)
     else:
@@ -441,6 +442,7 @@ def train(
                 lambda k, b: net.init_carry(
                     X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
                     b, ss_pi=cfg.ss_pi, state=s,
+                    ss_markers=cfg.ss_markers, ssm_pi=cfg.ssm_pi,
                 )
             )(ks, bs)
         )(net.state, X, y, keys, betas)
@@ -736,19 +738,24 @@ def train(
         traj_f.close()
     stats.to_file(cfg.outpath)
 
-    if cfg.spike_slab:
+    if cfg.spike_slab or cfg.ss_markers:
         # posterior inclusion probabilities (post-burn-in mean of z) from
         # the cold / first chain
-        pip = carry.ss_pip if C == 1 else carry.ss_pip[0]
-        pi = carry.ss_pi if C == 1 else carry.ss_pi[0]
+        first = lambda a: a if C == 1 else a[0]
+        rec = {}
+        if cfg.spike_slab:
+            rec["pip"] = np.asarray(first(carry.ss_pip)).tolist()
+            rec["pi"] = float(np.asarray(first(carry.ss_pi)))
+        if cfg.ss_markers:
+            # [G, m_pad] -> true markers only, per branch
+            pm = np.asarray(first(carry.ssm_pip))
+            rec["pip_markers"] = [
+                pm[g, : net.arch.m[g]].tolist()
+                for g in range(net.arch.num_branches)
+            ]
+            rec["pi_markers"] = float(np.asarray(first(carry.ssm_pi)))
         with open(os.path.join(cfg.outpath, "inclusion_probs"), "w") as f:
-            json.dump(
-                {
-                    "pip": np.asarray(pip).tolist(),
-                    "pi": float(np.asarray(pi)),
-                },
-                f,
-            )
+            json.dump(rec, f)
 
     net.state = carry.state if C == 1 else jax.tree.map(lambda a: a[0], carry.state)
     return net, stats

@@ -1,0 +1,188 @@
+"""Per-marker (within-branch) spike-and-slab tests (cfg.ss_markers).
+
+The collapsed conjugate move is exact for identity depth-0 branches: the
+branch output is linear in each layer-0 row, so the row marginalizes in
+closed form (models/net.py _marker_ss_scan). These tests check the move's
+math against a NumPy mirror, selection behavior on a sparse truth, padding
+invariance, and the artifact stream.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_bann_tpu.models import density as D
+from rs_bann_tpu.models.arch import NetArch
+from rs_bann_tpu.models.data import stack_standardized
+from rs_bann_tpu.models.init import InitCfg, init_net
+from rs_bann_tpu.models.net import Net, _marker_ss_scan
+from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+from rs_bann_tpu.train import train
+
+
+def _sparse_linear_problem(seed=0, G=4, m=20, n=800, frac_h2=0.5, n_causal=6):
+    rng = np.random.default_rng(seed)
+    M = G * m
+    X = rng.binomial(2, 0.3, size=(n, M)).astype(np.float32)
+    Xte = rng.binomial(2, 0.3, size=(n, M)).astype(np.float32)
+    causal = rng.choice(M, size=n_causal, replace=False)
+    beta = np.zeros(M, np.float32)
+    beta[causal] = rng.normal(0, 0.5, n_causal)
+
+    def std(A):
+        mu, sd = A.mean(0), A.std(0)
+        return (A - mu) / np.where(sd > 0, sd, 1)
+
+    g_tr, g_te = std(X) @ beta, std(Xte) @ beta
+    sig = np.sqrt(g_tr.var() * (1 / frac_h2 - 1))
+    y = (g_tr + rng.normal(0, sig, n)).astype(np.float32)
+    yte = (g_te + rng.normal(0, sig, n)).astype(np.float32)
+    arch = NetArch.from_width_rules(
+        [m] * G, 0, ("fixed", 6), ("like_hidden",), activation="identity"
+    )
+    dtr = stack_standardized(arch, [X[:, i * m : (i + 1) * m] for i in range(G)], y)
+    dte = stack_standardized(arch, [Xte[:, i * m : (i + 1) * m] for i in range(G)], yte)
+    return arch, dtr, dte, causal
+
+
+def test_marker_scan_matches_numpy_collapse():
+    """One scan step's Bayes factor and conditional row draw distribution
+    match the closed-form NumPy computation (forced single-marker case)."""
+    rng = np.random.default_rng(3)
+    n, m_pad, s = 400, 8, 4
+    x = np.zeros((n, m_pad), np.float32)
+    # only marker 2 carries data: other columns are 0, so their z draws
+    # cannot perturb the residual and the closed form below is exact
+    x[:, 2] = rng.standard_normal(n).astype(np.float32)
+    W0 = np.zeros((m_pad, s), np.float32)
+    b0 = np.zeros(s, np.float32)  # keep pred offset 0 so e_{-j} = target
+    w_out = rng.standard_normal((s, 1)).astype(np.float32)
+    lam_e, lam = 2.0, 1.5
+    # target carries signal on marker 2 only
+    beta_true = 0.8
+    target = (x[:, 2] * beta_true + rng.normal(0, 0.5, n)).astype(np.float32)
+
+    keys = jax.random.split(jax.random.key(0), 4000)
+    z, rows = [], []
+    lam_rows = jnp.full(m_pad, lam)
+    rm = jnp.ones(m_pad)
+    cm = jnp.ones(s)
+
+    def one(k):
+        zf, W0f, _ = _marker_ss_scan(
+            k, jnp.asarray(x), jnp.asarray(W0), jnp.asarray(b0),
+            jnp.asarray(w_out), jnp.asarray(target), lam_e, lam_rows,
+            0.5, rm, cm, False,
+        )
+        return zf[2], W0f[2]
+
+    zs, rows = jax.vmap(one)(keys)
+    zs, rows = np.asarray(zs), np.asarray(rows)
+
+    # NumPy closed form for marker 2 at W0 = 0 (its e_{-j} = target exactly,
+    # whatever the scan order — all other rows stay 0 under z_j drawn from a
+    # zero-signal BF only by chance; we therefore compare the marker-2
+    # inclusion probability in aggregate, which is dominated by its own BF)
+    w = w_out[:, 0]
+    wn2 = float(w @ w)
+    u = float(x[:, 2] @ target)
+    sxx = float(x[:, 2] @ x[:, 2])
+    q_a = lam + lam_e * sxx * wn2
+    log_bf = 0.5 * np.log(lam / q_a) + 0.5 * (lam_e * np.sqrt(wn2) * u) ** 2 / q_a
+    p_inc = 1.0 / (1.0 + np.exp(-log_bf))  # pi = 0.5 cancels
+    assert abs(zs.mean() - p_inc) < 0.05, (zs.mean(), p_inc)
+
+    # included draws: effective beta = row . w ~ N(lam_e*sqrt(wn2)*u/q_a * sqrt(wn2), ...)
+    inc = zs > 0
+    beta_draws = rows[inc] @ w
+    mu_a = lam_e * np.sqrt(wn2) * u / q_a
+    exp_beta = mu_a * np.sqrt(wn2)
+    sd_beta = np.sqrt(wn2 / q_a)
+    assert abs(beta_draws.mean() - exp_beta) < 4 * sd_beta / np.sqrt(max(inc.sum(), 1))
+    assert abs(beta_draws.std() - sd_beta) < 0.2 * sd_beta + 0.01
+
+
+def test_excluded_rows_exactly_zero_and_padding_invariant():
+    arch, dtr, _, _ = _sparse_linear_problem(seed=5, G=2, m=10, n=200)
+    state, _ = init_net(arch, "ridge_ard", InitCfg(seed=1))
+    net = Net("ridge_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=6, burn_in=6, hmc_integration_length=5,
+        hmc_step_size_mode="dual_averaging", update_mode="sequential",
+        ss_markers=True, outpath="/tmp/ssm_pad_test", seed=0,
+    )
+    sweep = jax.jit(net.make_sweep(cfg))
+    carry = net.init_carry(dtr.X, dtr.y, jax.random.key(0), ss_markers=True)
+    for _ in range(6):
+        carry, _ = sweep(carry, dtr.X, dtr.y)
+    W0 = np.asarray(carry.state.params.weights[0])  # [G, m_pad, s_pad]
+    z = np.asarray(carry.ssm_z)  # [G, m_pad]
+    for g in range(arch.num_branches):
+        # excluded rows are exactly 0
+        np.testing.assert_array_equal(W0[g][z[g] == 0], 0.0)
+        # padded rows always excluded
+        assert np.all(z[g][arch.m[g] :] == 0.0)
+        # padded columns stay 0 on included rows too
+        np.testing.assert_array_equal(W0[g][:, arch.s[g] :], 0.0)
+    assert np.all(np.isfinite(np.asarray(carry.residual)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["sequential", "parallel", "hybrid"])
+def test_identifies_causal_markers(tmp_path, mode):
+    arch, dtr, dte, causal = _sparse_linear_problem(seed=0)
+    state, _ = init_net(arch, "ridge_ard", InitCfg(seed=1))
+    net = Net("ridge_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=120, burn_in=60, hmc_integration_length=20,
+        hmc_step_size_mode="dual_averaging", update_mode=mode,
+        block_size=2 if mode == "hybrid" else 0,
+        ss_markers=True, outpath=str(tmp_path), seed=2,
+    )
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+    probs = json.load(open(os.path.join(str(tmp_path), "inclusion_probs")))
+    pip = np.concatenate([np.array(p) for p in probs["pip_markers"]])
+    null = np.delete(pip, causal)
+    assert pip[causal].mean() > 0.5, pip[causal]
+    assert null.mean() < 0.05, null.mean()
+    # prediction at a reasonable fraction of the h2 = 0.5 ceiling
+    from rs_bann_tpu.vis import posterior_predictions
+
+    preds = posterior_predictions(os.path.join(str(tmp_path), "models"), dte.X)
+    r2 = float(np.corrcoef(preds.mean(0), np.asarray(dte.y))[0, 1] ** 2)
+    assert r2 > 0.38, r2
+    assert stats.acceptance_rate() > 0.3
+
+
+@pytest.mark.slow
+def test_ssm_with_branch_ss_and_packed(tmp_path):
+    """ss_markers composes with branch-level spike_slab and packed X."""
+    from rs_bann_tpu.group.grouping import UniformGrouping
+    from rs_bann_tpu.io.bed import BedVM
+    from rs_bann_tpu.models.data import pack_stacked
+
+    G, m, n = 4, 12, 256
+    bed = BedVM.random(n, G * m, seed=4)
+    grouping = UniformGrouping(G, m)
+    arch = NetArch.from_width_rules(
+        [m] * G, 0, ("fixed", 4), ("like_hidden",), activation="identity"
+    )
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(n).astype(np.float32)
+    data = pack_stacked(arch, bed, grouping, y)
+    state, _ = init_net(arch, "ridge_ard", InitCfg(seed=1))
+    net = Net("ridge_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=8, burn_in=4, hmc_integration_length=5,
+        hmc_step_size_mode="dual_averaging", update_mode="hybrid",
+        block_size=2, ss_markers=True, spike_slab=True,
+        outpath=str(tmp_path), seed=0,
+    )
+    net, stats = train(net, data, cfg, verbose=False)
+    probs = json.load(open(os.path.join(str(tmp_path), "inclusion_probs")))
+    assert "pip" in probs and "pip_markers" in probs
+    assert np.isfinite(stats.mse_train).all()
