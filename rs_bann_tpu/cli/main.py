@@ -226,15 +226,10 @@ def _mcmc_cfg_from_args(args, outpath: str):
     )
 
 
-def _run_outdir_name(args) -> str:
-    """train-new outdir naming (rs-bann.rs:1019-1066)."""
-    name = (
-        f"{args.model_type}_{args.activation_function}_d{args.branch_depth}"
-        f"_cl{args.chain_length}_il{args.integration_length}"
-        f"_{args.step_size_mode}_st{args.step_size}"
-        f"_dpk{args.dpk}_dps{args.dps}_spk{args.spk}_sps{args.sps}"
-        f"_opk{args.opk}_ops{args.ops}"
-    )
+def _mode_suffixes(args) -> str:
+    """Sampler-mode suffix chain shared by the train-new and train outdir
+    names (one source of truth so the two subcommands can never drift)."""
+    name = ""
     if args.joint_hmc:
         name += "_joint"
     if args.mass_adaptation:
@@ -253,6 +248,19 @@ def _run_outdir_name(args) -> str:
         name += "_gdj"
     if args.fixed_param_precision is not None:
         name += f"_fp{args.fixed_param_precision}"
+    return name
+
+
+def _run_outdir_name(args) -> str:
+    """train-new outdir naming (rs-bann.rs:1019-1066)."""
+    name = (
+        f"{args.model_type}_{args.activation_function}_d{args.branch_depth}"
+        f"_cl{args.chain_length}_il{args.integration_length}"
+        f"_{args.step_size_mode}_st{args.step_size}"
+        f"_dpk{args.dpk}_dps{args.dps}_spk{args.spk}_sps{args.sps}"
+        f"_opk{args.opk}_ops{args.ops}"
+    )
+    name += _mode_suffixes(args)
     if args.fixed_hidden_layer_width is not None:
         name += f"_fhlw{args.fixed_hidden_layer_width}"
     else:
@@ -448,22 +456,7 @@ def cmd_train(args):
         f"_{args.step_size_mode}_st{args.step_size}"
         f"_dtheta{args.perturb_params or 0.0}_dlambda{args.perturb_precisions or 0.0}"
     )
-    if args.joint_hmc:
-        name += "_joint"
-    if args.mass_adaptation:
-        name += "_mass"
-    if args.traj_length_mode != "fixed":
-        name += f"_{args.traj_length_mode}"
-    if args.spike_slab:
-        name += "_ss"
-    if args.ss_markers:
-        name += "_ssm"
-    if args.tempering:
-        name += f"_pt{args.max_temperature}"
-    if args.gradient_descent:
-        name += "_gd"
-    if args.fixed_param_precision is not None:
-        name += "_fp"
+    name += _mode_suffixes(args)
     outdir = set_replicate_ix(args.outpath, name)
     cfg = _mcmc_cfg_from_args(args, str(outdir))
     os.makedirs(outdir, exist_ok=True)
@@ -651,9 +644,16 @@ def cmd_analyze(args):
 
     ip_path = _os.path.join(args.rundir, "inclusion_probs")
     if _os.path.exists(ip_path):
+        # "pip"/"pi" for --spike-slab runs, "pip_markers"/"pi_markers" for
+        # --ss-markers runs; a run may have either or both
         rec = json.load(open(ip_path))
-        out["inclusion_pi"] = round(rec["pi"], 3)
-        out["branch_inclusion_probs"] = [round(p, 3) for p in rec["pip"]]
+        if "pi" in rec:
+            out["inclusion_pi"] = round(rec["pi"], 3)
+            out["branch_inclusion_probs"] = [round(p, 3) for p in rec["pip"]]
+        if "pi_markers" in rec:
+            out["marker_inclusion_pi"] = round(rec["pi_markers"], 4)
+            flat = [p for row in rec["pip_markers"] for p in row]
+            out["markers_pip_gt_half"] = sum(1 for p in flat if p > 0.5)
 
     if _os.path.exists(_os.path.join(args.rundir, "trace")):
         trace = vis.load_trace(args.rundir)
@@ -690,6 +690,82 @@ def cmd_analyze(args):
         except ImportError:
             out["plots"] = "matplotlib unavailable"
     print(json.dumps(out, indent=2))
+
+
+_REF_MODEL_TYPES = {
+    # reference args.json spelling (model_type.rs:5-13) -> ours
+    "RidgeARD": "ridge_ard",
+    "RidgeBase": "ridge_base",
+    "LassoARD": "lasso_ard",
+    "LassoBase": "lasso_base",
+    "StdNormal": "std_normal",
+    "Linear": "linear",
+}
+
+
+def _ref_model_type_of(path: Path, explicit):
+    """Model type for a reference model file: --model-type, else the
+    sibling args.json (the reference's own convention, rs-bann.rs:281-286)."""
+    if explicit is not None:
+        return explicit
+    d = path if path.is_dir() else path.parent
+    for probe in (d / "args.json", d.parent / "args.json"):
+        if probe.is_file():
+            mt = json.load(open(probe)).get("model_type")
+            if mt in _REF_MODEL_TYPES:
+                return _REF_MODEL_TYPES[mt]
+            if mt in MODEL_TYPES:
+                return MODEL_TYPES[mt]
+    raise SystemExit(
+        "Cannot determine model type: pass --model-type or place args.json "
+        "next to the model file"
+    )
+
+
+def cmd_import_ref_model(args):
+    """Convert reference bincode model file(s) to framework npz."""
+    _force_cpu_if(True)  # pure host conversion; never touch the TPU
+    from ..io import refmodel
+
+    src = Path(args.path)
+    mt = _ref_model_type_of(src, args.model_type)
+    files = (
+        sorted(
+            (p for p in src.iterdir() if p.suffix == ".bin"),
+            key=lambda p: p.stem,
+        )
+        if src.is_dir()
+        else [src]
+    )
+    outdir = Path(args.out) if args.out else (src if src.is_dir() else src.parent)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for p in files:
+        net = refmodel.to_net(refmodel.read_net(p), mt)
+        net.save(str(outdir / (p.stem + ".npz")))
+        print(outdir / (p.stem + ".npz"))
+
+
+def cmd_export_ref_model(args):
+    """Convert framework npz model file(s) to reference bincode."""
+    _force_cpu_if(True)
+    from ..io import refmodel
+    from ..models.net import Net
+
+    src = Path(args.path)
+    files = (
+        sorted(
+            (p for p in src.iterdir() if p.suffix == ".npz"),
+            key=lambda p: p.stem,
+        )
+        if src.is_dir()
+        else [src]
+    )
+    outdir = Path(args.out) if args.out else (src if src.is_dir() else src.parent)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for p in files:
+        ref = refmodel.from_net(Net.load(str(p)))
+        refmodel.write_net(ref, outdir / (p.stem + ".bin"))
+        print(outdir / (p.stem + ".bin"))
 
 
 def cmd_available_backends(args):
@@ -868,6 +944,24 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("bfile")
     g.add_argument("-o", "--out-stem", default=None)
     g.set_defaults(func=cmd_fill_missing_a2)
+
+    g = sub.add_parser(
+        "import-ref-model",
+        help="Convert reference bincode model.bin / models/ dir to npz.",
+    )
+    g.add_argument("path", help="a .bin file or a models/ directory")
+    g.add_argument("--model-type", type=_model_type, default=None,
+                   help="override; default reads the sibling args.json")
+    g.add_argument("-o", "--out", default=None)
+    g.set_defaults(func=cmd_import_ref_model)
+
+    g = sub.add_parser(
+        "export-ref-model",
+        help="Convert npz model file(s) to reference bincode .bin.",
+    )
+    g.add_argument("path", help="a .npz file or a models/ directory")
+    g.add_argument("-o", "--out", default=None)
+    g.set_defaults(func=cmd_export_ref_model)
 
     g = sub.add_parser("available-backends", help="Print available jax backends.")
     g.set_defaults(func=cmd_available_backends)

@@ -215,7 +215,7 @@ def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask,
 
 
 def _marker_ss_scan(
-    key, x_g, W0, b0, w_out_col, target, lam_e, lam_rows, pi_m, row_mask,
+    key, x_g, W0, b0, w_out_col, resid0, lam_e, lam_rows, pi_m, row_mask,
     col_mask0, force_include,
 ):
     """Sequential collapsed conjugate Gibbs over one branch's layer-0 rows
@@ -234,8 +234,11 @@ def _marker_ss_scan(
         in the orthogonal complement (likelihood-unidentified); spike: 0.
 
     ``x_g`` is dense [n, m_pad] or a PackedX slice (columns decode on the
-    fly). Returns (z [m_pad], W0_new, e_final) with e_final = target − pred
-    at the updated W0 (exact by construction of the live residual).
+    fly). ``resid0`` is the branch's residual y − bias − Σ_g' pred_g' at
+    the CURRENT params (callers already hold it — the scan starts from it
+    instead of re-running the branch forward pass). Returns
+    (z [m_pad], W0_new, e_final) with e_final the live residual at the
+    updated W0 (exact by construction).
     """
     m_pad, s_pad = W0.shape
     w = w_out_col[:, 0]  # [s_pad]
@@ -264,8 +267,7 @@ def _marker_ss_scan(
         def col(j):
             return x_g[:, j]
 
-    pred = D.predict("identity", (W0, w_out_col), (b0,), x_g)
-    e0 = target - pred
+    e0 = resid0
     k_perm, k_scan = jax.random.split(key)
     order = jax.random.permutation(k_perm, m_pad)
 
@@ -625,7 +627,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             # the remaining coordinates with excluded rows frozen
             lam_rows = jnp.broadcast_to(wp_g[0][:, 0], (w_g[0].shape[0],))
             z_m, W0_new, _ = _marker_ss_scan(
-                k_ssm, x_g, w_g[0], b_g[0], w_g[-1], target, err_hmc,
+                k_ssm, x_g, w_g[0], b_g[0], w_g[-1], residual, err_hmc,
                 lam_rows, carry.ssm_pi, st_g.row_masks[0][:, 0], mb_g[0],
                 carry.da_t < float(cfg.ssm_warmup),
             )
@@ -986,13 +988,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             )
             ssm_force = carry.da_t < float(cfg.ssm_warmup)
             z_m, W0_new, _ = jax.vmap(
-                lambda k, x, W0, b0, wo, t, lr, rm, cm: _marker_ss_scan(
-                    k, x, W0, b0, wo, t, err_hmc, lr, carry.ssm_pi, rm, cm,
+                lambda k, x, W0, b0, wo, r, lr, rm, cm: _marker_ss_scan(
+                    k, x, W0, b0, wo, r, err_hmc, lr, carry.ssm_pi, rm, cm,
                     ssm_force,
                 )
             )(
                 ssm_keys, X, params.weights[0], params.biases[0],
-                params.weights[-1], targets, lam_rows_all,
+                params.weights[-1],
+                jnp.broadcast_to(carry.residual, (G, carry.residual.shape[0])),
+                lam_rows_all,
                 statics.row_masks[0][:, :, 0], masks_b[0],
             )
             params = StackedParams(
@@ -1315,12 +1319,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 )[ixs]
                 ssm_force = c.da_t < float(cfg.ssm_warmup)
                 z_m, W0_new, _ = jax.vmap(
-                    lambda k, x, W0, b0, wo, t, lr, rm, cm: _marker_ss_scan(
-                        k, x, W0, b0, wo, t, err_hmc, lr, c.ssm_pi, rm, cm,
+                    lambda k, x, W0, b0, wo, r, lr, rm, cm: _marker_ss_scan(
+                        k, x, W0, b0, wo, r, err_hmc, lr, c.ssm_pi, rm, cm,
                         ssm_force,
                     )
                 )(
-                    ssm_keys, x_b, w_b[0], b_b[0], w_b[-1], targets,
+                    ssm_keys, x_b, w_b[0], b_b[0], w_b[-1],
+                    jnp.broadcast_to(residual, (B, residual.shape[0])),
                     lam_rows_b, statics.row_masks[0][ixs][:, :, 0],
                     masks_b[0][ixs],
                 )

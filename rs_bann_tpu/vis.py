@@ -97,6 +97,143 @@ def posterior_predictions(models_dir, X) -> np.ndarray:
     return np.stack([np.asarray(Net.load(str(p)).predict(X)) for p in files])
 
 
+# -------------------------------------------------- per-layer trace slices
+
+
+def _layer_sizes(branch_rec) -> list:
+    """Per-layer (n_weights, n_biases) from one trace branch record."""
+    ws = branch_rec["params"]["weights"]
+    bs = branch_rec["params"]["biases"]
+    return [
+        (len(ws[l]), len(bs[l]) if l < len(bs) else 0) for l in range(len(ws))
+    ]
+
+
+def trace_layer_weights(trace, branch_ix: int, layer_ix: int) -> np.ndarray:
+    """[iterations, n_w(layer)] weight values of one layer (column-major
+    flat, same order the reference's Trace.layer_weights yields,
+    py-vis/vis.py:219-268)."""
+    return np.asarray(
+        [it[branch_ix]["params"]["weights"][layer_ix] for it in trace],
+        np.float32,
+    )
+
+
+def trace_layer_biases(trace, branch_ix: int, layer_ix: int) -> np.ndarray:
+    return np.asarray(
+        [it[branch_ix]["params"]["biases"][layer_ix] for it in trace],
+        np.float32,
+    )
+
+
+def trace_layer_weight_precisions(trace, branch_ix, layer_ix) -> np.ndarray:
+    return np.asarray(
+        [it[branch_ix]["precisions"]["weight_precisions"][layer_ix]
+         for it in trace],
+        np.float32,
+    )
+
+
+def trace_layer_bias_precisions(trace, branch_ix, layer_ix) -> np.ndarray:
+    return np.asarray(
+        [it[branch_ix]["precisions"]["bias_precisions"][layer_ix]
+         for it in trace],
+        np.float32,
+    )
+
+
+def trace_error_precision(trace, branch_ix: int = 0) -> np.ndarray:
+    return np.asarray(
+        [it[branch_ix]["precisions"]["error_precision"][0] for it in trace],
+        np.float32,
+    )
+
+
+# ------------------------------------------------------ baseline regressors
+
+
+def _ridge_fit_predict(x_tr, y_tr, x_te, alpha=1.0):
+    """Closed-form ridge (the reference baselines use sklearn Ridge(1.0),
+    py-vis/vis.py:867-903; numpy normal equations here — same estimator:
+    X and y centered so the intercept is unpenalized, exactly what
+    sklearn's fit_intercept=True does). Solved in whichever of the
+    primal/dual forms is smaller."""
+    x_tr = np.asarray(x_tr, np.float64)
+    x_te = np.asarray(x_te, np.float64)
+    y_tr = np.asarray(y_tr, np.float64)
+    xm = x_tr.mean(axis=0)
+    xc = x_tr - xm
+    mu = y_tr.mean()
+    yc = y_tr - mu
+    n, m = x_tr.shape
+    if m <= n:
+        a = xc.T @ xc + alpha * np.eye(m)
+        beta = np.linalg.solve(a, xc.T @ yc)
+    else:
+        k = xc @ xc.T + alpha * np.eye(n)
+        beta = xc.T @ np.linalg.solve(k, yc)
+    return xc @ beta + mu, (x_te - xm) @ beta + mu
+
+
+def r2_score(y_pred, y_true) -> float:
+    """1 - SSR/SST (the reference's r2, py-vis/vis.py:904-907)."""
+    y_true = np.asarray(y_true, np.float64)
+    y_pred = np.asarray(y_pred, np.float64)
+    return float(
+        1 - np.sum((y_true - y_pred) ** 2)
+        / np.sum((y_true - y_true.mean()) ** 2)
+    )
+
+
+def ridge_r2(x_tr, y_tr, x_te, y_te, alpha=1.0):
+    p_tr, p_te = _ridge_fit_predict(x_tr, y_tr, x_te, alpha)
+    return r2_score(p_tr, y_tr), r2_score(p_te, y_te)
+
+
+def ridge_mse(x_tr, y_tr, x_te, y_te, alpha=1.0):
+    p_tr, p_te = _ridge_fit_predict(x_tr, y_tr, x_te, alpha)
+    return (
+        float(((p_tr - y_tr) ** 2).mean()),
+        float(((p_te - y_te) ** 2).mean()),
+    )
+
+
+def linreg_r2(x_tr, y_tr, x_te, y_te):
+    """OLS baseline (mse_linreg / LinearRegression upstream): X and y
+    centered (= free intercept), solved via lstsq for rank safety."""
+    x_tr = np.asarray(x_tr, np.float64)
+    xm = x_tr.mean(axis=0)
+    mu = np.asarray(y_tr, np.float64).mean()
+    beta, *_ = np.linalg.lstsq(x_tr - xm, np.asarray(y_tr) - mu, rcond=None)
+    return (
+        r2_score((x_tr - xm) @ beta + mu, y_tr),
+        r2_score((np.asarray(x_te, np.float64) - xm) @ beta + mu, y_te),
+    )
+
+
+# -------------------------------------------------------- sim-dir loaders
+
+
+def load_phen_stats(sim_outdir, split: str = "train") -> dict:
+    with open(Path(sim_outdir) / f"{split}_phen_stats.json") as f:
+        return json.load(f)
+
+
+def load_genetic_values(sim_outdir):
+    """(g_train, g_test) written by simulate-xy (vis.py:496-502)."""
+    with open(Path(sim_outdir) / "genetic_values_train.json") as f:
+        g_tr = np.asarray(json.load(f)["y"], np.float32)
+    with open(Path(sim_outdir) / "genetic_values_test.json") as f:
+        g_te = np.asarray(json.load(f)["y"], np.float32)
+    return g_tr, g_te
+
+
+def load_predictions_csv(path) -> np.ndarray:
+    """[samples, n] matrix from a predict-CLI CSV (one row per posterior
+    sample, rs-bann.rs:308-310)."""
+    return np.loadtxt(path, delimiter=",", ndmin=2)
+
+
 # --------------------------------------------------------------- summaries
 
 
@@ -182,13 +319,19 @@ def plot_inclusion_probs(rundir, save_to=None):
     import matplotlib.pyplot as plt
 
     rec = json.load(open(os.path.join(rundir, "inclusion_probs")))
-    pip = np.asarray(rec["pip"])
-    fig, ax = plt.subplots(figsize=(max(6, 0.12 * len(pip)), 3.5))
+    # branch-level PIPs (--spike-slab), per-marker PIPs (--ss-markers), or both
+    if "pip" in rec:
+        pip, pi = np.asarray(rec["pip"]), rec["pi"]
+        xlabel = "branch (SNP group)"
+    else:
+        pip = np.concatenate([np.asarray(r) for r in rec["pip_markers"]])
+        pi = rec["pi_markers"]
+        xlabel = "marker"
+    fig, ax = plt.subplots(figsize=(max(6, min(20, 0.12 * len(pip))), 3.5))
     ax.bar(np.arange(len(pip)), pip, width=0.9)
     ax.axhline(0.5, ls="--", lw=0.8, color="gray")
-    ax.axhline(rec["pi"], ls=":", lw=0.8, color="tab:red",
-               label=f"pi = {rec['pi']:.2f}")
-    ax.set_xlabel("branch (SNP group)")
+    ax.axhline(pi, ls=":", lw=0.8, color="tab:red", label=f"pi = {pi:.3f}")
+    ax.set_xlabel(xlabel)
     ax.set_ylabel("posterior inclusion probability")
     ax.set_ylim(0, 1.02)
     ax.legend()
@@ -273,6 +416,324 @@ def plot_posterior_means(trace, true_params, branch_ix=0, burn_in=0, save_to=Non
     ax.plot([-lim, lim], [-lim, lim], "k--", lw=0.5)
     ax.set_xlabel("true param")
     ax.set_ylabel("posterior mean")
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def _r2_curves(rundir, sim_outdir):
+    """R² trajectories from training_stats MSE series against phenotype
+    variance (vis.py:553-558), plus the h² lines."""
+    st = load_training_stats(rundir)
+    tr = load_phen_stats(sim_outdir, "train")
+    te = load_phen_stats(sim_outdir, "test")
+    r2_tr = 1 - np.asarray(st["mse_train"]) / tr["variance"]
+    r2_te = (
+        1 - np.asarray(st["mse_test"]) / te["variance"]
+        if st.get("mse_test") else None
+    )
+    h2_tr = (tr["variance"] - tr["env_variance"]) / tr["variance"]
+    h2_te = (te["variance"] - te["env_variance"]) / te["variance"]
+    return st, r2_tr, r2_te, h2_tr, h2_te
+
+
+def _lam_e_panel(ax, lam_e, burn_in, env_var):
+    """Shared error-precision trace panel: chain, posterior-mean line,
+    1/env_variance truth line, log scale."""
+    ax.plot(lam_e)
+    ax.axhline(float(lam_e[burn_in:].mean()), color="r", ls="--",
+               label="posterior mean")
+    if env_var > 0:
+        ax.axhline(1 / env_var, color="k", ls=":", label="true")
+    ax.set_yscale("log")
+
+
+def _r2_panel(ax, r2_tr, r2_te, h2_tr, h2_te, ridge_data=None,
+              full_r2_yrange=False):
+    """Shared R² panel: nn train/test curves, h² lines, optional gray
+    ridge-baseline lines."""
+    ax.plot(r2_tr, label="nn train")
+    if r2_te is not None:
+        ax.plot(r2_te, label="nn test")
+    ax.axhline(h2_tr, ls="--", color="#35063e", label="h2 train")
+    ax.axhline(h2_te, ls="-.", color="#35063e", label="h2 test")
+    if ridge_data is not None:
+        rr_tr, rr_te = ridge_r2(*ridge_data)
+        ax.axhline(rr_tr, color="gray", ls="--", label="ridge train")
+        ax.axhline(rr_te, color="gray", ls=":", label="ridge test")
+    if not full_r2_yrange:
+        ax.set_ylim(0.0, 1.0)
+    ax.set_ylabel(r"$R^2$")
+
+
+def plot_perf_r2(rundir, sim_outdir, burn_in=0, ridge_data=None,
+                 full_r2_yrange=False, save_to=None):
+    """3-panel run overview (vis.py:692-775): error-precision trace with
+    posterior mean and 1/env_variance truth line; R² train/test with h²
+    (and optional ridge-baseline) reference lines; LPD trace.
+
+    ridge_data: optional (x_train, y_train, x_test, y_test) for the gray
+    ridge baseline lines (the reference loads the bed fileset for this).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    trace = load_trace(rundir)
+    lam_e = trace_error_precision(trace)
+    st, r2_tr, r2_te, h2_tr, h2_te = _r2_curves(rundir, sim_outdir)
+    env_var = load_phen_stats(sim_outdir, "train")["env_variance"]
+
+    fig, axes = plt.subplots(3, 1, sharex=True, figsize=(7, 7))
+    _lam_e_panel(axes[0], lam_e, burn_in, env_var)
+    axes[0].set_ylabel(r"$\lambda_e$")
+    axes[0].legend()
+
+    _r2_panel(axes[1], r2_tr, r2_te, h2_tr, h2_te, ridge_data,
+              full_r2_yrange)
+    axes[1].legend(loc="center left", bbox_to_anchor=(1, 0.5))
+
+    axes[2].plot(np.asarray(st["lpd"]))
+    axes[2].set_ylabel(r"$\log P(\Theta, \Lambda | D)$")
+    axes[2].set_xlabel("iteration")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_r2_lpd(rundir, sim_outdir, ridge_data=None, full_r2_yrange=False,
+                yscale=None, max_iter=None, save_to=None):
+    """2-panel R² + LPD (vis.py:611-689)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    st, r2_tr, r2_te, h2_tr, h2_te = _r2_curves(rundir, sim_outdir)
+    fig, axes = plt.subplots(2, 1, sharex=True, figsize=(7, 5))
+    _r2_panel(axes[0], r2_tr, r2_te, h2_tr, h2_te, ridge_data,
+              full_r2_yrange)
+    axes[0].legend(loc="center left", bbox_to_anchor=(1, 0.5))
+    axes[1].plot(np.asarray(st["lpd"]))
+    axes[1].set_ylabel(r"$\log P(\Theta, \Lambda | D)$")
+    axes[1].set_xlabel("iteration")
+    for ax in axes:
+        if yscale:
+            ax.set_yscale(yscale)
+        if max_iter:
+            ax.set_xlim(0, max_iter)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_perf(rundir, sim_outdir, burn_in=0, ridge_data=None, save_to=None):
+    """Error-precision + log-scale MSE panels (vis.py:777-828)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    trace = load_trace(rundir)
+    lam_e = trace_error_precision(trace)
+    st = load_training_stats(rundir)
+    env_var = load_phen_stats(sim_outdir, "train")["env_variance"]
+
+    fig, axes = plt.subplots(1, 2, sharex=True, figsize=(10, 3))
+    axes[0].set_title("ERROR PRECISION")
+    _lam_e_panel(axes[0], lam_e, burn_in, env_var)
+    axes[0].legend()
+
+    axes[1].set_title("MSE")
+    axes[1].plot(st["mse_train"], label="nn train")
+    if st.get("mse_test"):
+        axes[1].plot(st["mse_test"], label="nn test")
+    if ridge_data is not None:
+        rm_tr, rm_te = ridge_mse(*ridge_data)
+        axes[1].axhline(rm_tr, color="gray", ls="--", label="ridge train")
+        axes[1].axhline(rm_te, color="gray", ls=":", label="ridge test")
+    axes[1].legend()
+    axes[1].set_yscale("log")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def plot_perf_r2_genetic_value(rundir, sim_outdir, train_pred_csv,
+                               test_pred_csv, burn_in=0, save_to=None):
+    """3-panel λ_e / r²(ŷ,y) / r²(ŷ,g) vs true genetic values with the
+    Daetwyler expected-r² line (vis.py:504-608). Predictions come from the
+    predict CLI's CSVs (one row per posterior sample)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g_tr, g_te = load_genetic_values(sim_outdir)
+    pred_tr = load_predictions_csv(train_pred_csv)
+    pred_te = load_predictions_csv(test_pred_csv)
+    trace = load_trace(rundir)
+    lam_e = trace_error_precision(trace)
+    _, r2_tr, r2_te, h2_tr, h2_te = _r2_curves(rundir, sim_outdir)
+    env_var = load_phen_stats(sim_outdir, "train")["env_variance"]
+    true_params = load_true_params(sim_outdir)
+    num_params = sum(
+        len(v) for b in true_params
+        for part in ("weights", "biases") for v in b["params"][part]
+    ) if isinstance(true_params, list) else None
+
+    r2g_tr = [r2_score(v, g_tr) for v in pred_tr]
+    r2g_te = [r2_score(v, g_te) for v in pred_te]
+
+    fig, axes = plt.subplots(3, 1, sharex=True, figsize=(6, 6))
+    _lam_e_panel(axes[0], lam_e, burn_in, env_var)
+    axes[0].set_ylabel(r"$\lambda_e$")
+
+    _r2_panel(axes[1], r2_tr, r2_te, h2_tr, h2_te)
+    axes[1].set_ylabel(r"$r^2_{\hat{y}y}$")
+
+    if num_params:
+        axes[2].axhline(
+            expected_r2(num_params, len(g_tr), h2_te), ls=":",
+            color="red", label=r"expected $r^2_{\hat{y}g}$",
+        )
+    axes[2].plot(r2g_tr)
+    axes[2].plot(r2g_te)
+    axes[2].set_ylim(0.0, 1.0)
+    axes[2].set_ylabel(r"$r^{2}_{\hat{y}g}$")
+    fig.legend(bbox_to_anchor=(1.04, 0.5), loc="center left")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_branch_state(trace, true_params, state_ix, branch_ix=0,
+                      save_to=None):
+    """Sorted param-vs-truth scatter grid of ONE saved state: rows W, λ_W,
+    b, λ_b x columns per layer (the reference's plot_single_branch_state,
+    vis.py:441-493; sorting compares distributions, not positions, since
+    hidden units are exchangeable)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tb = true_params[branch_ix]
+    L = len(tb["params"]["weights"])
+    fig, axes = plt.subplots(4, L, figsize=(3.2 * L, 10), squeeze=False)
+    for lab, row in zip((r"$W | D$", r"$\lambda_W | D$", r"$b | D$",
+                         r"$\lambda_b | D$"), range(4)):
+        axes[row, 0].set_ylabel(lab)
+    for lix in range(L):
+        pairs = [
+            (np.sort(trace_layer_weights(trace, branch_ix, lix)[state_ix]),
+             np.sort(np.asarray(tb["params"]["weights"][lix])), 0, "$W$"),
+            (np.sort(
+                trace_layer_weight_precisions(trace, branch_ix, lix)[state_ix]
+            ),
+             np.sort(np.asarray(tb["precisions"]["weight_precisions"][lix])),
+             1, r"$\lambda_W$"),
+        ]
+        if lix < L - 1:
+            pairs += [
+                (np.sort(trace_layer_biases(trace, branch_ix, lix)[state_ix]),
+                 np.sort(np.asarray(tb["params"]["biases"][lix])), 2, "$b$"),
+                (trace_layer_bias_precisions(trace, branch_ix, lix)[state_ix],
+                 np.asarray(tb["precisions"]["bias_precisions"][lix]),
+                 3, r"$\lambda_b$"),
+            ]
+        for est, tru, row, xlab in pairs:
+            n = min(len(est), len(tru))
+            axes[row, lix].plot(tru[:n], est[:n], "k.")
+            if row < 3:
+                axes[row, lix].plot(tru[:n], tru[:n], "k:")
+            axes[row, lix].set_xlabel(xlab)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def plot_branch_trace(trace, branch_ix=0, save_to=None):
+    """Per-parameter trace-line grid: rows b, λ_b, W, λ_W x columns per
+    layer (the reference's plot_single_branch_trace, vis.py:830-864)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    L = len(trace[0][branch_ix]["params"]["weights"])
+    fig, axes = plt.subplots(4, L, sharex=True, figsize=(3.2 * L, 10),
+                             squeeze=False)
+    for lix in range(L - 1):
+        axes[0, lix].set_title(f"LAYER {lix + 1}")
+        axes[0, lix].plot(trace_layer_biases(trace, branch_ix, lix), lw=0.8)
+        axes[1, lix].plot(
+            trace_layer_bias_precisions(trace, branch_ix, lix), lw=0.8
+        )
+    axes[0, L - 1].set_axis_off()
+    axes[1, L - 1].set_axis_off()
+    for lix in range(L):
+        axes[2, lix].plot(trace_layer_weights(trace, branch_ix, lix), lw=0.8)
+        axes[3, lix].plot(
+            trace_layer_weight_precisions(trace, branch_ix, lix), lw=0.8
+        )
+    axes[0, 0].set_ylabel(r"$b$")
+    axes[1, 0].set_ylabel(r"$\sigma^{-2}_{b}$")
+    axes[2, 0].set_ylabel(r"$W$")
+    axes[3, 0].set_ylabel(r"$\sigma^{-2}_{w}$")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120)
+    return fig
+
+
+def load_lm_true_effects(sim_outdir) -> np.ndarray:
+    """Flattened true linear-model effects (vis.py:924-944)."""
+    with open(Path(sim_outdir) / "model.params") as f:
+        mp = json.load(f)
+    return np.concatenate([np.asarray(e, np.float32) for e in mp["effects"]])
+
+
+def plot_est_effect_sizes(rundir, sim_outdir, burn_in=0, save_to=None):
+    """Posterior-mean input gradients vs true linear effects with a
+    least-squares fit line (vis.py:947-970). Reads the
+    effect_sizes/<model_ix>_<branch_ix> CSVs written by --effect-sizes."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    true_effects = load_lm_true_effects(sim_outdir)
+    esdir = Path(rundir) / "effect_sizes"
+    by_model = {}
+    for p in esdir.iterdir():
+        mix, g = (int(v) for v in p.stem.split("_"))
+        if mix >= burn_in:
+            by_model.setdefault(mix, {})[g] = np.loadtxt(
+                p, delimiter=",", ndmin=2
+            ).mean(axis=0)
+    if not by_model:
+        raise ValueError(f"no post-burn-in effect size files in {esdir}")
+    means = [
+        np.concatenate([parts[g] for g in sorted(parts)])
+        for _, parts in sorted(by_model.items())
+    ]
+    est = np.mean(means, axis=0)
+
+    slope, icpt = np.polyfit(true_effects, est, 1)
+    xs = np.linspace(true_effects.min(), true_effects.max(), 10)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot(xs, slope * xs + icpt, ":")
+    ax.plot(true_effects, est, ".")
+    ax.set_xlabel(r"$\beta_i$")
+    ax.set_ylabel(r"$\frac{\partial \hat{y}}{\partial x_i}$")
+    fig.tight_layout()
     if save_to:
         fig.savefig(save_to, dpi=120)
     return fig

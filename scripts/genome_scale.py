@@ -106,6 +106,13 @@ def main():
     ap.add_argument("--spike-slab", action="store_true")
     ap.add_argument("--ss-pi", type=float, default=0.5)
     ap.add_argument("--ss-warmup", type=int, default=-1)
+    ap.add_argument("--ss-markers", action="store_true",
+                    help="per-marker (within-branch) spike-and-slab: exact "
+                    "collapsed conjugate move on layer-0 rows (identity "
+                    "depth-0 ridge/std_normal only)")
+    ap.add_argument("--ssm-pi", type=float, default=0.5)
+    ap.add_argument("--ssm-fixed-pi", action="store_true")
+    ap.add_argument("--ssm-warmup", type=int, default=0)
     ap.add_argument("--traj-length-mode", default="fixed",
                     choices=["fixed", "jittered", "uturn"])
     ap.add_argument("--gd-warmup", type=int, default=0)
@@ -184,6 +191,7 @@ def main():
         "step_size_mode": args.step_size_mode,
         "mass_adaptation": args.mass_adaptation,
         "spike_slab": args.spike_slab,
+        "ss_markers": args.ss_markers,
         "packed": args.packed,
         "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
@@ -280,6 +288,10 @@ def main():
         spike_slab=args.spike_slab,
         ss_pi=args.ss_pi,
         ss_warmup=args.ss_warmup,
+        ss_markers=args.ss_markers,
+        ssm_pi=args.ssm_pi,
+        ssm_fixed_pi=args.ssm_fixed_pi,
+        ssm_warmup=args.ssm_warmup,
         hmc_traj_length_mode=args.traj_length_mode,
         tempering=args.tempering,
         max_temperature=args.max_temperature,
@@ -296,11 +308,18 @@ def main():
     rec["test_r2"] = round(float(np.corrcoef(pm, y_te)[0, 1] ** 2), 3)
     import os as _os
 
-    if args.spike_slab and _os.path.exists(f"{outdir}/inclusion_probs"):
+    if (args.spike_slab or args.ss_markers) and _os.path.exists(
+        f"{outdir}/inclusion_probs"
+    ):
         ip = json.load(open(f"{outdir}/inclusion_probs"))
-        rec["inclusion_pi"] = round(ip["pi"], 3)
-        pip = np.asarray(ip["pip"])
-        rec["branches_pip_gt_half"] = int((pip > 0.5).sum())
+        if args.spike_slab:
+            rec["inclusion_pi"] = round(ip["pi"], 3)
+            pip = np.asarray(ip["pip"])
+            rec["branches_pip_gt_half"] = int((pip > 0.5).sum())
+        if args.ss_markers and "pip_markers" in ip:
+            flat = np.concatenate([np.asarray(r) for r in ip["pip_markers"]])
+            rec["ssm_pi"] = round(ip.get("pi_markers", args.ssm_pi), 4)
+            rec["markers_pip_gt_half"] = int((flat > 0.5).sum())
     print(json.dumps(rec), flush=True)
     if args.json_out:
         with open(args.json_out, "a") as f:
