@@ -15,6 +15,11 @@ Gradients are obtained with ``jax.grad`` of these densities; the reference's
 hand-derived backprop (branch_sampler.rs:813-875) plus prior-term gradients
 (ridge: −λ∘W, lasso: −λ∘sign(W) with sign(0)=0 — matching ``jnp.sign``) agree
 with autodiff, which the tests verify against the reference's golden values.
+Lasso L1 terms are written ``w·sign(w)`` (``_abs0``) rather than ``jnp.abs``:
+``jax.grad(jnp.abs)(0.0) = 1``, which would put a phantom prior force on
+exactly-zero weights — padded lanes and spike-and-slab-excluded rows — and
+leak them off zero through the leapfrog; ``grad(w·sign(w)) = sign(w)`` is 0
+at 0, the reference's af_helpers.rs:53-58 subgradient convention.
 
 Prior families ("model types"):
   ridge_base   one Gamma-precision per layer, Normal weights
@@ -51,6 +56,15 @@ def is_ard(model_type: str) -> bool:
 
 def is_lasso(model_type: str) -> bool:
     return model_type.startswith("lasso")
+
+
+def _abs0(w: jax.Array) -> jax.Array:
+    """|w| with autodiff gradient sign(w), sign(0) = 0 (see module doc).
+
+    Use in every L1 term a leapfrog gradient flows through; ``jnp.abs`` is
+    fine for value-only summary statistics.
+    """
+    return w * jnp.sign(w)
 
 
 def summary_stat(model_type: str, w: jax.Array) -> jax.Array:
@@ -262,7 +276,7 @@ def log_density_wrt_weights(model_type: str, weights, w_precisions) -> jax.Array
         if model_type == "std_normal":
             ld = ld - 0.5 * jnp.sum(w * w)
         elif is_lasso(model_type):
-            ld = ld - jnp.sum(lam * jnp.abs(w))
+            ld = ld - jnp.sum(lam * _abs0(w))
         else:
             ld = ld - 0.5 * jnp.sum(lam * w * w)
     return ld
@@ -329,7 +343,7 @@ def _joint_local_weights(
             rm = statics_g.row_masks[l]  # [in_pad, 1]
             ncols = statics_g.out_counts[l]
             if is_lasso(model_type):
-                row_l1 = jnp.sum(jnp.abs(w), axis=1, keepdims=True)
+                row_l1 = jnp.sum(_abs0(w), axis=1, keepdims=True)
                 ld = ld - jnp.sum(rm * (row_l1 + 1.0 / scale) * lam)
                 ld = ld + (shape + ncols - 1.0) * jnp.sum(rm * jnp.log(lam))
             else:
@@ -340,7 +354,7 @@ def _joint_local_weights(
             nvar = statics_g.w_counts[l]
             lam0 = lam.reshape(())
             if is_lasso(model_type):
-                ld = ld - (jnp.sum(jnp.abs(w)) + 1.0 / scale) * lam0
+                ld = ld - (jnp.sum(_abs0(w)) + 1.0 / scale) * lam0
                 ld = ld + (shape + nvar - 1.0) * jnp.log(lam0)
             else:
                 ld = ld - (jnp.sum(w * w) / 2.0 + 1.0 / scale) * lam0

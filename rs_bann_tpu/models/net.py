@@ -216,7 +216,7 @@ def _spike_slab_update(key, A, target, lam_e, lam_out, pi, out_mask,
 
 def _marker_ss_scan(
     key, x_g, W0, b0, w_out_col, resid0, lam_e, lam_rows, pi_m, row_mask,
-    col_mask0, force_include,
+    col_mask0, force_include, lasso=False,
 ):
     """Sequential collapsed conjugate Gibbs over one branch's layer-0 rows
     (markers), for identity-activation depth-0 branches (cfg.ss_markers).
@@ -224,14 +224,29 @@ def _marker_ss_scan(
     The branch output is pred = X (W0 w) + b0·w with w = w_out, so row
     W0[j] enters the likelihood only through its component a_j along
     ŵ = w/|w| (effective marker effect β_j = a_j·|w|). Per marker, in a
-    fresh random order against a LIVE residual:
+    fresh random order against a LIVE residual, with a Gaussian slab
+    N(0, diag(1/η_j)) per row:
 
-      * collapse a_j under the slab N(0, 1/λ_j):
-          q_a = λ_j + λ_e·(x_jᵀx_j)·|w|²,  u = x_jᵀ e_{-j}
-          log BF = ½ log(λ_j/q_a) + ½ (λ_e|w|u)²/q_a
+      * collapse a_j: prior var v_a = ŵᵀdiag(1/η_j)ŵ, λ_a = 1/v_a
+          q_a = λ_a + λ_e·(x_jᵀx_j)·|w|²,  u = x_jᵀ e_{-j}
+          log BF = ½ log(λ_a/q_a) + ½ (λ_e|w|u)²/q_a
       * z_j ~ Bern(σ(logit π_m + log BF))
-      * slab row: a_j ~ N(λ_e|w|u/q_a, 1/q_a) along ŵ, PRIOR N(0, λ_j^{-1})
-        in the orthogonal complement (likelihood-unidentified); spike: 0.
+      * slab row: a_j ~ N(λ_e|w|u/q_a, 1/q_a), then row | a_j from the
+        conditional of N(0, diag(1/η_j)) given ŵᵀrow = a_j
+        (= (Dŵ/v_a)·a_j + ξ − Dŵ(ŵᵀξ)/v_a, ξ ~ N(0, D)); spike: 0.
+
+    Slab precisions η_j:
+
+      * ridge / std_normal: isotropic η_jk = λ_j (the ARD row precision /
+        unit), recovering the N(0, λ_j^{-1} I) slab exactly.
+      * lasso (``lasso=True``): the row prior is Laplace(rate λ_j), not
+        Gaussian — the conjugate move comes from the Park & Casella (2008)
+        scale-mixture augmentation: w|s ~ N(0, s), s ~ Exp(λ_j²/2) has the
+        Laplace marginal, so per sweep η_jk is drawn from its conditional
+        1/s | w ~ InvGauss(λ_j/|w_jk|, λ_j²) (prior Exp draw where
+        w_jk = 0), and the collapsed move above runs on the conditionally
+        Gaussian slab. η is redrawn fresh each sweep (never carried), so
+        composing with the Laplace-gradient HMC afterwards is valid.
 
     ``x_g`` is dense [n, m_pad] or a PackedX slice (columns decode on the
     fly). ``resid0`` is the branch's residual y − bias − Σ_g' pred_g' at
@@ -246,6 +261,24 @@ def _marker_ss_scan(
     wn2_safe = jnp.maximum(wn2, 1e-30)
     wnorm = jnp.sqrt(wn2_safe)
     what = w / wnorm
+
+    key, k_eta = jax.random.split(key)
+    # per-element slab precisions [m_pad, s_pad]; floors/clips protect
+    # against underflowed draws (see the prior-draw clip in
+    # _gibbs_local_precisions)
+    if lasso:
+        rate = jnp.maximum(lam_rows, 1e-6)[:, None]  # Laplace rate λ_j
+        k_ig, k_ex = jax.random.split(k_eta)
+        eta_w = gibbs.inverse_gaussian(
+            k_ig, rate / jnp.maximum(jnp.abs(W0), 1e-12), rate * rate
+        )
+        s_prior = jax.random.exponential(k_ex, W0.shape) / (rate * rate / 2.0)
+        eta = jnp.where(jnp.abs(W0) > 0, eta_w, 1.0 / s_prior)
+    else:
+        eta = jnp.broadcast_to(
+            jnp.maximum(lam_rows, 1e-6)[:, None], (m_pad, s_pad)
+        )
+    eta = jnp.clip(eta, 1e-6, 1e12)
 
     packed = isinstance(x_g, D.PackedX)
     if packed:
@@ -279,12 +312,13 @@ def _marker_ss_scan(
         row = W0_c[j]
         e_mj = e + x_j * jnp.dot(row, w)
         u = jnp.dot(x_j, e_mj)
-        # floor: protects against an underflowed slab precision (see the
-        # prior-draw clip in _gibbs_local_precisions)
-        lam_j = jnp.maximum(lam_rows[j], 1e-6)
-        q_a = lam_j + lam_e * sxx[j] * wn2
+        d_j = col_mask0 / eta[j]  # slab variances (0 on padded columns)
+        dw = d_j * what
+        v_a = jnp.maximum(jnp.dot(what, dw), 1e-30)  # prior var of a_j
+        lam_a = 1.0 / v_a
+        q_a = lam_a + lam_e * sxx[j] * wn2
         log_bf = (
-            0.5 * jnp.log(lam_j / q_a)
+            0.5 * jnp.log(lam_a / q_a)
             + 0.5 * (lam_e * wnorm * u) ** 2 / q_a
         )
         logit = jnp.log(pi_m) - jnp.log1p(-pi_m) + log_bf
@@ -295,9 +329,9 @@ def _marker_ss_scan(
         )
         zj = zj * row_mask[j]  # padded markers never enter
         a = lam_e * wnorm * u / q_a + jax.random.normal(k_a, ()) / jnp.sqrt(q_a)
-        xi = jax.random.normal(k_o, row.shape) / jnp.sqrt(lam_j) * col_mask0
-        xi = xi - jnp.dot(xi, what) * what
-        new_row = jnp.where(zj > 0, a * what + xi, 0.0)
+        xi = jax.random.normal(k_o, row.shape) * jnp.sqrt(d_j)
+        xi = xi - dw * (jnp.dot(xi, what) / v_a)
+        new_row = jnp.where(zj > 0, (dw / v_a) * a + xi, 0.0)
         e_new = e_mj - x_j * jnp.dot(new_row, w)
         return (e_new, W0_c.at[j].set(new_row), z_c.at[j].set(zj)), None
 
@@ -504,12 +538,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             "conjugate move; docs/GENOME_SCALE.md production recipe)"
         )
         assert D.is_ard(model_type) or model_type == "std_normal", (
-            "ss_markers needs per-row slab precisions (ridge_ard) or fixed "
-            "unit precisions (std_normal)"
+            "ss_markers needs per-row slab precisions (ridge_ard/lasso_ard) "
+            "or fixed unit precisions (std_normal); base models share one "
+            "precision per layer"
         )
-        assert not D.is_lasso(model_type), (
-            "ss_markers needs Gaussian row priors (conjugate slab)"
-        )
+        # lasso_ard is supported via the Park-Casella scale-mixture
+        # augmentation inside _marker_ss_scan (lasso=True below)
     out_w_counts = statics_h.w_counts[L - 1]  # [G] true output weights per branch
 
     if cfg.gradient_descent:
@@ -630,6 +664,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 k_ssm, x_g, w_g[0], b_g[0], w_g[-1], residual, err_hmc,
                 lam_rows, carry.ssm_pi, st_g.row_masks[0][:, 0], mb_g[0],
                 carry.da_t < float(cfg.ssm_warmup),
+                lasso=D.is_lasso(model_type),
             )
             w_g = (W0_new,) + w_g[1:]
             ssm_z = ssm_z.at[g].set(z_m)
@@ -990,7 +1025,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             z_m, W0_new, _ = jax.vmap(
                 lambda k, x, W0, b0, wo, r, lr, rm, cm: _marker_ss_scan(
                     k, x, W0, b0, wo, r, err_hmc, lr, carry.ssm_pi, rm, cm,
-                    ssm_force,
+                    ssm_force, lasso=D.is_lasso(model_type),
                 )
             )(
                 ssm_keys, X, params.weights[0], params.biases[0],
@@ -1321,7 +1356,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 z_m, W0_new, _ = jax.vmap(
                     lambda k, x, W0, b0, wo, r, lr, rm, cm: _marker_ss_scan(
                         k, x, W0, b0, wo, r, err_hmc, lr, c.ssm_pi, rm, cm,
-                        ssm_force,
+                        ssm_force, lasso=D.is_lasso(model_type),
                     )
                 )(
                     ssm_keys, x_b, w_b[0], b_b[0], w_b[-1],

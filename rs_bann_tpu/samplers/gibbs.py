@@ -23,6 +23,31 @@ def _gamma(key, shape, scale):
     return jax.random.gamma(key, shape_b) * scale
 
 
+def inverse_gaussian(key, mu, lam):
+    """Independent InverseGaussian(mean μ, shape λ) draws, elementwise over
+    the broadcast of (μ, λ).
+
+    Michael–Schucany–Haas (1976) transform: y = ν² with ν ~ N(0,1),
+    x = μ + μ²y/(2λ) − μ/(2λ)·√(4μλy + μ²y²), accept x with probability
+    μ/(μ+x), else return μ²/x. Used for the Bayesian-lasso scale-mixture
+    augmentation (Park & Casella 2008): for w ~ Laplace(rate λ_r), the
+    auxiliary per-element precision is 1/s | w ~ InvGauss(λ_r/|w|, λ_r²).
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(mu), jnp.shape(lam))
+    mu = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), shape)
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), shape)
+    k_n, k_u = jax.random.split(key)
+    y = jax.random.normal(k_n, shape) ** 2
+    muy = mu * y
+    x = mu + mu * (muy - jnp.sqrt(muy * (4.0 * lam + muy))) / (2.0 * lam)
+    # x can round to <= 0 in f32 for extreme μ/λ; the reciprocal branch
+    # below (μ²/x) is then selected by u > μ/(μ+x) with x→0 ⇒ p(accept)→1…
+    # guard with a tiny floor instead
+    x = jnp.maximum(x, 1e-30)
+    u = jax.random.uniform(k_u, shape)
+    return jnp.where(u <= mu / (mu + x), x, mu * mu / x)
+
+
 def ridge_precision_posterior(key, prior_shape, prior_scale, sum_of_squares, n):
     """λ | w ~ Gamma(k + n/2, 2s / (2 + s·Σw²)) — gibbs_steps.rs:76-94.
 

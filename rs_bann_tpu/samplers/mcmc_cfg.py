@@ -97,7 +97,10 @@ class MCMCCfg:
     # the ARD row precisions of excluded rows are drawn from their prior.
     # Per-marker posterior inclusion probabilities land in
     # <outpath>/inclusion_probs under "pip_markers". Marginal HMC +
-    # ridge/std_normal models + identity activation + depth 0 only.
+    # identity activation + depth 0 + per-row precisions only (ridge_ard,
+    # lasso_ard, std_normal); lasso's Laplace rows become conditionally
+    # Gaussian through the Park-Casella scale-mixture augmentation (a
+    # fresh InvGauss per-element precision draw each sweep).
     ssm_pi: float = 0.5  # prior marker-inclusion probability (Gibbs-updated
     # under Beta(1,1) once per sweep unless ssm_fixed_pi)
     ssm_fixed_pi: bool = False

@@ -186,3 +186,82 @@ def test_ssm_with_branch_ss_and_packed(tmp_path):
     probs = json.load(open(os.path.join(str(tmp_path), "inclusion_probs")))
     assert "pip" in probs and "pip_markers" in probs
     assert np.isfinite(stats.mse_train).all()
+
+
+# ------------------- lasso slab via Park-Casella scale mixture
+
+
+def test_inverse_gaussian_sampler_moments():
+    """InvGauss(mu, lam): mean mu, variance mu^3/lam."""
+    from rs_bann_tpu.samplers import gibbs
+
+    for mu, lam in [(1.0, 1.0), (0.5, 4.0), (3.0, 0.8)]:
+        x = np.asarray(
+            gibbs.inverse_gaussian(jax.random.key(7), jnp.full(200_000, mu), lam)
+        )
+        assert np.all(x > 0)
+        assert abs(x.mean() - mu) < 0.02 * mu + 4 * np.sqrt(mu**3 / lam / 2e5)
+        var = mu**3 / lam
+        assert abs(x.var() - var) < 0.1 * var + 1e-3
+
+
+def test_scale_mixture_recovers_laplace_marginal():
+    """w | s ~ N(0, s), s ~ Exp(rate lam^2/2) has the Laplace(rate lam)
+    marginal — the augmentation identity the lasso slab relies on."""
+    lam = 1.7
+    rng = np.random.default_rng(0)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    s = np.asarray(jax.random.exponential(k1, (200_000,))) / (lam**2 / 2)
+    w = np.asarray(jax.random.normal(k2, (200_000,))) * np.sqrt(s)
+    # Laplace(rate lam): sd = sqrt(2)/lam, P(|w| < t) = 1 - exp(-lam t)
+    assert abs(w.std() - np.sqrt(2) / lam) < 0.01
+    t = 0.5
+    assert abs((np.abs(w) < t).mean() - (1 - np.exp(-lam * t))) < 0.01
+
+
+def test_lasso_ssm_smoke_and_zeros():
+    """lasso_ard + ss_markers runs, keeps excluded rows exactly 0, and
+    respects padding in every schedule."""
+    arch, dtr, _, _ = _sparse_linear_problem(seed=5, G=2, m=10, n=200)
+    state, _ = init_net(arch, "lasso_ard", InitCfg(seed=1))
+    net = Net("lasso_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=6, burn_in=6, hmc_integration_length=5,
+        hmc_step_size_mode="dual_averaging", update_mode="sequential",
+        ss_markers=True, outpath="/tmp/ssm_lasso_test", seed=0,
+    )
+    sweep = jax.jit(net.make_sweep(cfg))
+    carry = net.init_carry(dtr.X, dtr.y, jax.random.key(0), ss_markers=True)
+    for _ in range(6):
+        carry, _ = sweep(carry, dtr.X, dtr.y)
+    W0 = np.asarray(carry.state.params.weights[0])
+    z = np.asarray(carry.ssm_z)
+    for g in range(arch.num_branches):
+        np.testing.assert_array_equal(W0[g][z[g] == 0], 0.0)
+        assert np.all(z[g][arch.m[g]:] == 0.0)
+        np.testing.assert_array_equal(W0[g][:, arch.s[g]:], 0.0)
+    assert np.all(np.isfinite(np.asarray(carry.residual)))
+
+
+@pytest.mark.slow
+def test_lasso_ssm_identifies_causal_markers(tmp_path):
+    """Per-marker selection works through the Laplace slab too."""
+    arch, dtr, dte, causal = _sparse_linear_problem(seed=0)
+    state, _ = init_net(arch, "lasso_ard", InitCfg(seed=1))
+    net = Net("lasso_ard", arch, D.Hyperparameters(), state)
+    cfg = MCMCCfg(
+        chain_length=120, burn_in=60, hmc_integration_length=20,
+        hmc_step_size_mode="dual_averaging", update_mode="hybrid",
+        block_size=2, ss_markers=True, outpath=str(tmp_path), seed=2,
+    )
+    net, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+    probs = json.load(open(os.path.join(str(tmp_path), "inclusion_probs")))
+    pip = np.concatenate([np.array(p) for p in probs["pip_markers"]])
+    null = np.delete(pip, causal)
+    assert pip[causal].mean() > 0.5, pip[causal]
+    assert null.mean() < 0.1, null.mean()
+    from rs_bann_tpu.vis import posterior_predictions
+
+    preds = posterior_predictions(os.path.join(str(tmp_path), "models"), dte.X)
+    r2 = float(np.corrcoef(preds.mean(0), np.asarray(dte.y))[0, 1] ** 2)
+    assert r2 > 0.35, r2
