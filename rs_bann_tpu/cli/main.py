@@ -686,6 +686,24 @@ def cmd_analyze(args):
                     burn_in=args.burn_in or 0,
                     save_to=_os.path.join(args.plots, "posterior_means.png"),
                 )
+                vis.plot_branch_trace(
+                    vis.load_trace(args.rundir),
+                    save_to=_os.path.join(args.plots, "branch_trace.png"),
+                )
+            if args.sim and _os.path.exists(
+                _os.path.join(args.sim, "train_phen_stats.json")
+            ):
+                # run-overview panels need the sim dir's phen stats;
+                # the 3-panel variant additionally needs the trace
+                vis.plot_r2_lpd(
+                    args.rundir, args.sim,
+                    save_to=_os.path.join(args.plots, "r2_lpd.png"),
+                )
+                if _os.path.exists(_os.path.join(args.rundir, "trace")):
+                    vis.plot_perf_r2(
+                        args.rundir, args.sim, burn_in=args.burn_in or 0,
+                        save_to=_os.path.join(args.plots, "perf_r2.png"),
+                    )
             out["plots"] = args.plots
         except ImportError:
             out["plots"] = "matplotlib unavailable"

@@ -191,3 +191,17 @@ def test_simulate_linear_model(tmp_path):
     assert params["num_branches"] == 2
     effects = np.array(params["effects"]).ravel()
     assert (effects == 0).sum() > 0  # sparse
+
+
+def test_analyze_with_sim_and_plots(simdir, rundir, tmp_path):
+    pytest.importorskip("matplotlib")
+    out = json.loads(run_cli(
+        "analyze", rundir, "--sim", simdir, "--plots", tmp_path / "plots",
+    ))
+    assert out["iterations"] == 6
+    assert "posterior_mean_vs_truth" in out
+    written = {p.name for p in (tmp_path / "plots").iterdir()}
+    assert {
+        "training_stats.png", "posterior_means.png", "branch_trace.png",
+        "r2_lpd.png", "perf_r2.png",
+    } <= written
