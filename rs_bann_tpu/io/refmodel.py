@@ -48,6 +48,13 @@ Serialized layout (field order = struct declaration order):
 
 Weight matrices are ArrayFire column-major ``dim4(prev, curr)`` flattened
 (params.rs:618-671), i.e. Fortran order.
+
+CAVEAT — no ground-truth artifact exists: the reference repo ships no
+``.bin`` file and Rust is unavailable in this image, so the byte-golden test
+(tests/test_refmodel.py) is hand-assembled from the same reading of the
+bincode 1.3.3 spec as this writer. A shared misreading of the spec would
+pass silently; the first load of a genuinely reference-produced file is the
+real validation.
 """
 
 from __future__ import annotations
@@ -317,6 +324,19 @@ def to_net(ref: RefNet, model_type: str):
     depth = len(cfgs[0].layer_widths) - 2
     if any(len(b.layer_widths) - 2 != depth for b in cfgs):
         raise ValueError("Branches of different depth are not supported")
+    for g, b in enumerate(cfgs):
+        # the NetArch hidden width is inferred from layer_widths[0]; a file
+        # with non-uniform hidden widths (or a non-scalar output) would
+        # otherwise convert silently into a different, zero-padded model
+        if any(b.layer_widths[i] != b.layer_widths[0] for i in range(depth)):
+            raise ValueError(
+                f"branch {g}: non-uniform hidden widths {b.layer_widths} "
+                "are not representable in NetArch"
+            )
+        if b.layer_widths[-1] != 1:
+            raise ValueError(
+                f"branch {g}: output width {b.layer_widths[-1]} != 1"
+            )
     m = tuple(b.num_markers for b in cfgs)
     h = tuple(
         (b.layer_widths[0] if depth > 0 else 0) for b in cfgs

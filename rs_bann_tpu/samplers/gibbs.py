@@ -36,6 +36,13 @@ def inverse_gaussian(key, mu, lam):
     shape = jnp.broadcast_shapes(jnp.shape(mu), jnp.shape(lam))
     mu = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), shape)
     lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), shape)
+    # cap μ: for μ ≳ 1e18 (rate / |w| with |w| at the 1e-12 floor),
+    # μ·y·(4λ+μ·y) overflows f32 to inf, x → −inf → the 1e-30 floor, and the
+    # accept test then returns the floor itself (a huge slab VARIANCE) where
+    # the correct draw is in the large-precision reciprocal branch. Draws at
+    # μ = 1e12 are astronomically large precisions already (callers clip to
+    # 1e12), so the cap is distributionally inert where it binds.
+    mu = jnp.minimum(mu, 1e12)
     k_n, k_u = jax.random.split(key)
     y = jax.random.normal(k_n, shape) ** 2
     muy = mu * y

@@ -268,15 +268,25 @@ def expected_r2(m: int, n: int, h2: float, formula: str = "daetwyler"):
     """Expected predictive r² in an independent sample (py-vis/sim.py:151-169).
 
     daetwyler: r² = k/(k+1) with k = n·h²/m.
-    wray: the quadratic-root form (returned as the two roots, as upstream).
+    wray: the roots x of the quadratic k·x² − (1+k)·x + h² = 0 with
+    k = m/(n+h²), returned as correlations √x, smaller (physical) root
+    first. The physical root → h² as n → ∞ and decreases with m/n.
+
+    Upstream-bug note: the reference's expression (py-vis/sim.py:163-166)
+    misplaces the /(−2k) divisor (it divides only the discriminant, with a
+    sign flip) and flips the discriminant's −4kh² term to +, so its second
+    "root" goes negative and the outer sqrt emits NaN. Both expressions are
+    attempts at the same quadratic-root formula; this is the well-formed one
+    (minus root ≡ upstream's intent, verified against the n → ∞ limit).
     """
     if formula in ("daetwyler", "deatwyler"):
         k = n * h2 / m
         return k / (k + 1)
     if formula in ("wray", "wrey"):
         k = m / (n + h2)
-        x1 = (1 + k) - (np.sqrt((1 + k) ** 2 + 4 * k * h2) / (-2 * k))
-        x2 = (1 + k) + (np.sqrt((1 + k) ** 2 + 4 * k * h2) / (-2 * k))
+        disc = np.sqrt((1 + k) ** 2 - 4 * k * h2)
+        x1 = ((1 + k) - disc) / (2 * k)
+        x2 = ((1 + k) + disc) / (2 * k)
         return np.sqrt([x1, x2])
     raise ValueError(formula)
 
@@ -319,22 +329,35 @@ def plot_inclusion_probs(rundir, save_to=None):
     import matplotlib.pyplot as plt
 
     rec = json.load(open(os.path.join(rundir, "inclusion_probs")))
-    # branch-level PIPs (--spike-slab), per-marker PIPs (--ss-markers), or both
+    # branch-level PIPs (--spike-slab), per-marker PIPs (--ss-markers), or
+    # both (one panel per level for a run that used both)
+    series = []
     if "pip" in rec:
-        pip, pi = np.asarray(rec["pip"]), rec["pi"]
-        xlabel = "branch (SNP group)"
-    else:
-        pip = np.concatenate([np.asarray(r) for r in rec["pip_markers"]])
-        pi = rec["pi_markers"]
-        xlabel = "marker"
-    fig, ax = plt.subplots(figsize=(max(6, min(20, 0.12 * len(pip))), 3.5))
-    ax.bar(np.arange(len(pip)), pip, width=0.9)
-    ax.axhline(0.5, ls="--", lw=0.8, color="gray")
-    ax.axhline(pi, ls=":", lw=0.8, color="tab:red", label=f"pi = {pi:.3f}")
-    ax.set_xlabel(xlabel)
-    ax.set_ylabel("posterior inclusion probability")
-    ax.set_ylim(0, 1.02)
-    ax.legend()
+        series.append(
+            (np.asarray(rec["pip"]), rec["pi"], "branch (SNP group)")
+        )
+    if "pip_markers" in rec:
+        series.append(
+            (
+                np.concatenate([np.asarray(r) for r in rec["pip_markers"]]),
+                rec["pi_markers"],
+                "marker",
+            )
+        )
+    if not series:
+        raise ValueError(f"no pip/pip_markers in {rundir}/inclusion_probs")
+    width = max(6, min(20, 0.12 * max(len(p) for p, _, _ in series)))
+    fig, axes = plt.subplots(
+        len(series), 1, figsize=(width, 3.5 * len(series)), squeeze=False
+    )
+    for ax, (pip, pi, xlabel) in zip(axes[:, 0], series):
+        ax.bar(np.arange(len(pip)), pip, width=0.9)
+        ax.axhline(0.5, ls="--", lw=0.8, color="gray")
+        ax.axhline(pi, ls=":", lw=0.8, color="tab:red", label=f"pi = {pi:.3f}")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("posterior inclusion probability")
+        ax.set_ylim(0, 1.02)
+        ax.legend()
     fig.tight_layout()
     if save_to:
         fig.savefig(save_to, dpi=120)

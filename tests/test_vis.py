@@ -76,8 +76,16 @@ def test_posterior_predictions_and_plots(run, tmp_path):
 
 def test_expected_r2_formulas():
     assert vis.expected_r2(20, 1000, 0.8) == pytest.approx(40 / 41)
+    # corrected quadratic k·x² − (1+k)·x + h² = 0, k = m/(n+h²): hand-
+    # computed minus root for (20, 1000, 0.8) is x₁ = 0.7967640 (r = √x₁);
+    # the upstream expression NaNs here (vis.expected_r2 docstring)
     w = vis.expected_r2(20, 1000, 0.8, formula="wray")
     assert len(w) == 2
+    assert np.all(np.isfinite(w))
+    assert w[0] ** 2 == pytest.approx(0.7967640, abs=1e-6)
+    # n → ∞ limit of the physical root is h²
+    w_inf = vis.expected_r2(20, 10**8, 0.8, formula="wray")
+    assert w_inf[0] ** 2 == pytest.approx(0.8, abs=1e-6)
 
 
 @pytest.mark.slow
