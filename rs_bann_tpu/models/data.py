@@ -59,16 +59,25 @@ def stack_standardized(
     y: np.ndarray,
     standardize: bool = True,
     dtype=np.float32,
+    feature_major: bool = False,
 ) -> StackedData:
     """Pad per-branch matrices into [G, n, m_pad]; optionally standardize
     columns to mean 0 / std 1 (population std, matching io/bed.rs:231-242).
 
     ``dtype``: storage dtype of X. bfloat16 halves the HBM streaming cost of
     the dominant layer-0 reads; matmuls accumulate in f32 either way.
+
+    ``feature_major``: store X transposed as a FeatX ([G, m_pad, n]) — the
+    MXU-lane-friendly layout for the compiled sweep (see
+    models/density.FeatX); halves physical HBM for m_pad below 128 (the
+    minor dim of a [.., n, m_pad] array is padded to 128 lanes on TPU).
     """
     n = columns[0].shape[0]
     G = arch.num_branches
-    X = np.zeros((G, n, arch.m_pad), np.float32)
+    if feature_major:
+        X = np.zeros((G, arch.m_pad, n), np.float32)
+    else:
+        X = np.zeros((G, n, arch.m_pad), np.float32)
     for g, xg in enumerate(columns):
         xg = np.asarray(xg, np.float32)
         assert xg.shape == (n, arch.m[g]), (xg.shape, n, arch.m[g])
@@ -76,8 +85,15 @@ def stack_standardized(
             mean = xg.mean(axis=0)
             std = xg.std(axis=0)  # population std (ddof=0), like the reference
             xg = (xg - mean) / np.where(std > 0, std, 1.0)
-        X[g, :, : arch.m[g]] = xg
+        if feature_major:
+            X[g, : arch.m[g], :] = xg.T
+        else:
+            X[g, :, : arch.m[g]] = xg
     Xj = jnp.asarray(X)
     if dtype is not None and np.dtype(dtype) != np.float32:
         Xj = Xj.astype(dtype)
+    if feature_major:
+        from .density import FeatX
+
+        return StackedData(FeatX(Xj), jnp.asarray(np.asarray(y, np.float32)))
     return StackedData(Xj, jnp.asarray(np.asarray(y, np.float32)))

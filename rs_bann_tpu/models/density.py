@@ -171,6 +171,55 @@ class PackedX:
         return PackedX(self.bytes[g], self.w_scale[g], self.shift[g], self.n)
 
 
+@jax.tree_util.register_pytree_node_class
+class FeatX:
+    """Feature-major dense branch genotypes: ``xT`` [..., m_pad, n].
+
+    Why this layout exists (BENCH_r02 roofline): the MXU processes a matmul
+    with the contraction dim padded to 128 lanes and the output minor dim
+    padded to 128 lanes (sublanes pad to 8). The sample-major branch matmul
+    [n, m] @ [m, h] with small branch widths (m=64, h=32) therefore issues
+    ceil(m/128)·128/m × ceil(h/128)·128/h = 8× the true tile work — and the
+    [n, m] array itself physically pads m to 128 lanes in HBM (2× memory).
+    Feature-major puts the large n axis in lanes everywhere:
+
+        z [h, n] = W᾿ [h, m] @ x [m, n]      (W᾿ = Wᵀ, formed per step —
+                                              weights stay [in, out])
+
+    so the only residual waste is the contraction padding (m→128: 2× at
+    m=64; h→128: 4× at h=32) — 2.8× modeled for the flagship shape vs 8×
+    sample-major, with n lanes always full and no physical m padding.
+    The output neuron (width 1 → 128× lane waste as a matvec) runs as a
+    VPU reduction over sublanes instead.
+
+    ``forward`` on a FeatX returns *feature-major* pre/activations
+    ([width, n]) for all but the LAST entry, which is the standard [n, 1]
+    output column — callers of intermediate activations must transpose
+    (see ``summary_acts``).
+    """
+
+    def __init__(self, xT):
+        self.xT = xT
+
+    def tree_flatten(self):
+        return (self.xT,), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    def __getitem__(self, g):
+        return FeatX(self.xT[g])
+
+    @property
+    def n(self) -> int:
+        return self.xT.shape[-1]
+
+    def to_dense(self):
+        """Standard sample-major [..., n, m_pad] view (analysis paths)."""
+        return jnp.swapaxes(self.xT, -1, -2)
+
+
 def x_slice(x, g):
     """Branch g's input out of stacked [G, ...] data (dense or packed)."""
     return x[g]
@@ -197,6 +246,25 @@ def matmul(a, b):
         b = b.astype(_COMPUTE_DTYPE)
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def matmul_fm(w, a):
+    """Feature-major layer: [out, n] = w[in, out]ᵀ @ a[in, n].
+
+    The explicit transpose keeps weights in their canonical [in, out]
+    orientation everywhere else while giving the MXU (and the autodiff
+    cotangent dWᵀ = g @ aᵀ, whose minor dim is then the LARGER of in/out)
+    the lane-friendly shapes — see FeatX. Optional bf16 inputs, f32
+    accumulation, same contract as ``matmul``.
+    """
+    wt = w.T
+    if _COMPUTE_DTYPE is not None:
+        wt = wt.astype(_COMPUTE_DTYPE)
+        a = a.astype(_COMPUTE_DTYPE)
+    return jax.lax.dot_general(
+        wt, a, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -229,6 +297,19 @@ def forward(act_name: str, weights, biases, x):
     acts = []
     num_layers = len(weights)
     canon = _A.canonical(act_name)
+    if isinstance(x, FeatX):
+        a = x.xT  # [m_pad, n]
+        for l in range(num_layers - 1):
+            z = matmul_fm(weights[l], a) + biases[l][:, None]
+            pre.append(z)
+            a = h(z)
+            acts.append(a)
+        # width-1 output as a VPU sublane reduction (a matvec would burn a
+        # full 128-lane MXU tile on one output column); returned in the
+        # standard [n, 1] orientation for callers
+        out = jnp.sum(weights[-1][:, 0][:, None] * a, axis=0)  # [n]
+        acts.append(out[:, None])
+        return pre, acts
     if isinstance(x, PackedX) and canon in FUSED_ACTIVATIONS:
         w0p = x.w_scale[:, None] * weights[0]
         off = biases[0] - x.shift @ w0p
@@ -254,6 +335,16 @@ def predict(act_name: str, weights, biases, x) -> jax.Array:
     """Branch prediction [n] (output column squeezed)."""
     _, acts = forward(act_name, weights, biases, x)
     return acts[-1][:, 0]
+
+
+def summary_acts(act_name: str, weights, biases, x) -> jax.Array:
+    """Summary-layer activations in the STANDARD [n, s_pad] orientation,
+    regardless of the input layout (FeatX forward keeps intermediates
+    feature-major; spike-and-slab consumers want sample-major)."""
+    A = forward(act_name, weights, biases, x)[1][-2]
+    if isinstance(x, FeatX):
+        return A.T
+    return A
 
 
 def branch_rss(act_name: str, weights, biases, x, y) -> jax.Array:
@@ -507,6 +598,8 @@ def effect_sizes(act_name: str, weights, biases, x) -> jax.Array:
     forward kept them and from the activation outputs on the fused layer-0
     Pallas path (exact for the fusable activations).
     """
+    if isinstance(x, FeatX):  # analysis path: densify, reuse the dense chain
+        x = x.to_dense()
     if not isinstance(x, PackedX):
 
         def total_out(xx):

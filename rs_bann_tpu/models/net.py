@@ -294,6 +294,13 @@ def _marker_ss_scan(
             raw = unpack_strided(x_g.bytes[j][None, :], n)[0]
             return (raw - x_g.shift[j]) * x_g.w_scale[j]
 
+    elif isinstance(x_g, D.FeatX):
+        xT = x_g.xT
+        sxx = jnp.sum(xT * xT, axis=1)
+
+        def col(j):
+            return xT[j]  # feature-major: a marker is a (fast) row slice
+
     else:
         sxx = jnp.sum(x_g * x_g, axis=0)
 
@@ -1002,7 +1009,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             # the sequential path for the rationale); HMC below only
             # applies to included branches
             A_all = jax.vmap(
-                lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                lambda w, b, x: D.summary_acts(act, w, b, x)
             )(params.weights, params.biases, X)  # [G, n, s_pad]
             preds = jnp.einsum("gns,gso->gn", A_all, params.weights[-1])
         else:
@@ -1040,7 +1047,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             ssm_z = z_m
             if ss_on:  # branch-level move needs A at the UPDATED layer 0
                 A_all = jax.vmap(
-                    lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                    lambda w, b, x: D.summary_acts(act, w, b, x)
                 )(params.weights, params.biases, X)
 
         if ss_on:
@@ -1334,7 +1341,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 # summary activations A of the collapsed move; HMC applies
                 # to included branches only (see the sequential path)
                 A_blk = jax.vmap(
-                    lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                    lambda w, b, x: D.summary_acts(act, w, b, x)
                 )(w_b, b_b, x_b)  # [B, n, s_pad]
                 preds = jnp.einsum("gns,gso->gn", A_blk, w_b[-1])
             else:
@@ -1368,7 +1375,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 ssm_z = ssm_z.at[ixs].set(z_m)
                 if ss_on:  # branch move needs A at the UPDATED layer 0
                     A_blk = jax.vmap(
-                        lambda w, b, x: D.forward(act, w, b, x)[1][-2]
+                        lambda w, b, x: D.summary_acts(act, w, b, x)
                     )(w_b, b_b, x_b)
 
             if ss_on:
@@ -1652,7 +1659,7 @@ class Net:
 
     # ------------------------------------------------------------- predict
     def _n_of(self, X) -> int:
-        return X.n if isinstance(X, D.PackedX) else X.shape[1]
+        return X.n if isinstance(X, (D.PackedX, D.FeatX)) else X.shape[1]
 
     def _branch_map(self, f, X, *per_branch_trees):
         """Map ``f(x_g, *slices)`` over branches: vmap when the stacked
@@ -1710,6 +1717,8 @@ class Net:
             w = tuple(w[g] for w in state.params.weights)
             b = tuple(b[g] for b in state.params.biases)
             _, acts = D.forward(act, w, b, X[g])
+            if isinstance(X, D.FeatX):  # intermediates are feature-major
+                acts = [a.T for a in acts[:-1]] + [acts[-1]]
             out.append([np.asarray(a) for a in acts])
         return out
 

@@ -132,6 +132,7 @@ def make_sharded_sweep(
     cfg: MCMCCfg,
     mesh: Mesh,
     packed_n: Optional[int] = None,
+    feat_major: bool = False,
 ):
     """Compile the sweep with mesh shardings.
 
@@ -182,6 +183,11 @@ def make_sharded_sweep(
     dax = "data" if shard_data else None
     if packed_n is not None:
         x_spec = packed_x_specs(shard_branch, shard_data, packed_n)
+    elif feat_major:
+        from ..models.density import FeatX
+
+        # [G, m_pad, n]: branch shard leads, individuals shard the lanes
+        x_spec = FeatX(P(b, None, dax))
     else:
         x_spec = P(b, dax, None)
     y_spec = P(dax)
