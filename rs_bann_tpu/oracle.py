@@ -37,8 +37,20 @@ ArrayFire device RNG. Comparisons against this oracle are therefore
 distributional (posterior summaries within Monte Carlo error), never bitwise.
 
 Scope: ridge_base and lasso_base (the canonical sim_train_pred.sh workload
-is lasso_base) plus std_normal; ARD variants are exercised against the JAX
-sequential sampler's own finite-difference and golden tests instead.
+is lasso_base), std_normal, ridge_ard (per-row precisions in all but the
+output layer, per-row Gibbs — ridge_ard.rs:271-301), and joint HMC over
+params AND precisions (branch_sampler.rs:1070-1178).
+
+Joint-HMC accept quirk (upstream): the reference's ``hmc_step_joint``
+initializes the Hamiltonian from the JOINT density
+(``neg_hamiltonian_joint``, branch_sampler.rs:1105-1108) but its final
+Metropolis test reuses the shared ``accept_or_reject_hmc_state``
+(branch_sampler.rs:1163-1168), which recomputes the MARGINAL density
+(branch_sampler.rs:938-951) — the acceptance ratio therefore compares
+mismatched densities and the chain does not satisfy detailed balance for
+the joint posterior. ``OracleCfg.joint_accept`` selects "reference"
+(mirror the quirk exactly) or "consistent" (joint density on both sides —
+what the JAX sampler implements; see DESIGN.md deviations).
 """
 
 from __future__ import annotations
@@ -59,11 +71,16 @@ F = np.float32
 
 @dataclass
 class OracleBranch:
-    """Host snapshot of one branch = the reference's BranchCfg."""
+    """Host snapshot of one branch = the reference's BranchCfg.
+
+    ``w_prec`` entries are scalars for Base priors, or per-input-row
+    [in]-arrays for ARD layers (all but the output layer — ridge_ard.rs);
+    the output entry is always a scalar (shared across branches).
+    """
 
     weights: List[np.ndarray]  # per layer [in, out] f32
     biases: List[np.ndarray]  # per layer [out] f32, no output bias
-    w_prec: List[float]  # per layer scalar precision (base priors)
+    w_prec: List[object]  # per layer scalar, or [in] f32 array (ARD)
     b_prec: List[float]
 
     def num_weights_layer(self, l: int) -> int:
@@ -100,6 +117,11 @@ class OracleCfg:
     hmc_step_size_mode: str = "izmailov"  # izmailov|std_scaled|random|uniform
     fixed_param_precisions: bool = False
     sampled_output_bias: bool = False
+    joint_hmc: bool = False  # HMC over params AND precisions (:1070-1178)
+    # "reference": final Metropolis test uses the MARGINAL density against
+    # the joint initial Hamiltonian — the upstream quirk (module docstring);
+    # "consistent": joint density on both sides (the JAX sampler's choice)
+    joint_accept: str = "consistent"
 
     def __post_init__(self):
         if self.burn_in is None:
@@ -154,8 +176,11 @@ class OracleNet:
         error_precision: float = 2.0,
         output_layer_precision: float = 0.05,
     ):
-        assert model_type in ("ridge_base", "lasso_base", "std_normal")
+        assert model_type in (
+            "ridge_base", "lasso_base", "std_normal", "ridge_ard"
+        )
         self.model_type = model_type
+        self.is_ard = model_type == "ridge_ard"
         self.branches = branches
         self.hyper = hyper
         self.num_layers = len(branches[0].weights)
@@ -173,6 +198,9 @@ class OracleNet:
         self.mse_train: List[float] = []
         self.samples: List[List[OracleBranch]] = []
         self.sample_biases: List[float] = []
+        # per-saved-sample shared scalars, for posterior-summary parity
+        self.sample_err_prec: List[float] = []
+        self.sample_out_prec: List[float] = []
 
     # -------------------------------------------------------------- helpers
     def _stat(self, w) -> float:
@@ -209,14 +237,19 @@ class OracleNet:
 
     def _log_density(self, br, w_prec, err_prec, rss):
         """branch_sampler.rs:72-77 + ridge_base.rs:165-178 /
-        lasso_base.rs:163-175: -lam_e*rss/2 - sum_l prior(w_l); biases carry
-        no prior term in marginal mode (branch_sampler.rs:104-112)."""
+        lasso_base.rs:163-175 / ridge_ard.rs:171-194: -lam_e*rss/2 -
+        sum_l prior(w_l); ARD layers dot per-row precisions with row sums
+        of squares; biases carry no prior term in marginal mode
+        (branch_sampler.rs:104-112)."""
         ld = -err_prec * rss / 2.0
         for l in range(self.num_layers):
             if self.model_type == "lasso_base":
                 ld -= w_prec[l] * float(np.sum(np.abs(br.weights[l])))
+            elif self.is_ard and l < self.num_layers - 1:
+                row_ssq = np.sum(br.weights[l] ** 2, axis=1)
+                ld -= 0.5 * float(row_ssq @ np.asarray(w_prec[l], F))
             else:
-                ld -= w_prec[l] * float(np.sum(br.weights[l] ** 2)) / 2.0
+                ld -= float(w_prec[l]) * float(np.sum(br.weights[l] ** 2)) / 2.0
         return ld
 
     def _gradient(self, br, x, y, err_prec):
@@ -240,6 +273,9 @@ class OracleNet:
         for l in range(self.num_layers):
             if self.model_type == "lasso_base":
                 prior = br.w_prec[l] * np.sign(br.weights[l])
+            elif self.is_ard and l < self.num_layers - 1:
+                # per-row precisions tiled over columns (ridge_ard.rs:200-209)
+                prior = np.asarray(br.w_prec[l], F)[:, None] * br.weights[l]
             else:
                 prior = br.w_prec[l] * br.weights[l]
             gw[l] = (-(err_prec * gw[l] + prior)).astype(F)
@@ -257,6 +293,15 @@ class OracleNet:
             for l in range(self.num_layers):
                 if self.model_type == "lasso_base":
                     e = fac / (4.0 * br.w_prec[l] * L)
+                elif self.is_ard and l < self.num_layers - 1:
+                    # per-row eps tiled over columns (ridge_ard.rs:72-86)
+                    e_rows = fac * math.pi / (
+                        2.0 * np.sqrt(np.asarray(br.w_prec[l], F)) * L
+                    )
+                    eps_w.append(
+                        np.tile(e_rows[:, None], (1, br.weights[l].shape[1])).astype(F)
+                    )
+                    continue
                 else:
                     e = fac * math.pi / (2.0 * math.sqrt(br.w_prec[l]) * L)
                 eps_w.append(np.full_like(br.weights[l], F(e)))
@@ -343,6 +388,245 @@ class OracleNet:
         br.weights, br.biases = init_w, init_b
         return 1, None
 
+    # -------------------------------------------------------- joint density
+    def _joint_log_density(self, br, err_prec, rss, reg_sum_others, n):
+        """log_density_joint (branch_sampler.rs:292-305): local weights
+        (ridge_base.rs:117-136 / ridge_ard.rs:119-148), output weights with
+        global stats (ridge_base.rs:138-157), l2 biases
+        (branch_sampler.rs:260-279), rss + error precision
+        (branch_sampler.rs:240-257)."""
+        hy = self.hyper
+        L = self.num_layers
+        ld = 0.0
+        for l in range(L - 1):
+            shape, scale = hy.layer(l, L)
+            w = br.weights[l]
+            if self.is_ard:
+                row_ssq = np.sum(w * w, axis=1)
+                lam = np.asarray(br.w_prec[l], F)
+                ld -= float((row_ssq / 2.0 + 1.0 / scale) @ lam)
+                ld += (shape + (w.shape[1] - 2.0) / 2.0) * float(
+                    np.sum(np.log(lam))
+                )
+            else:
+                lam = float(br.w_prec[l])
+                ld -= (float(np.sum(w * w)) / 2.0 + 1.0 / scale) * lam
+                ld += (shape + (w.size - 2.0) / 2.0) * math.log(lam)
+        shape, scale = hy.layer(L - 1, L)
+        lam = float(br.w_prec[-1])
+        tot = float(np.sum(br.weights[-1] ** 2)) + reg_sum_others
+        ld -= (0.5 * tot + 1.0 / scale) * lam
+        ld += (shape + (self.global_num_out - 2.0) / 2.0) * math.log(lam)
+        for l in range(L - 1):
+            shape, scale = hy.layer(l, L)
+            lb = float(br.b_prec[l])
+            b = br.biases[l]
+            ld -= lb * (float(np.sum(b * b)) / 2.0 + 1.0 / scale)
+            ld += (shape + (b.size - 2.0) / 2.0) * math.log(lb)
+        ld += (hy.output_shape + (n - 2.0) / 2.0) * math.log(err_prec)
+        ld -= err_prec * (rss / 2.0 + 1.0 / hy.output_scale)
+        return ld
+
+    def _joint_gradient(self, br, x, y, err_prec, reg_sum_others):
+        """Joint gradient (branch_sampler.rs:406-426): params part with
+        l2-regularized biases (:333-345), precision parts
+        (ridge_base.rs:221-249 / ridge_ard.rs:221-250, bias :348-367,
+        error :369-378). Returns (gw, gb, g_wprec, g_bprec, g_err, rss)."""
+        hy = self.hyper
+        L = self.num_layers
+        pre, acts = self._forward(br, x)
+        err = (acts[-1] - y).astype(F)
+        rss = float(err @ err)
+        gw = [None] * L
+        gb = [None] * (L - 1)
+        gw[-1] = (acts[-2].T @ err[:, None]).astype(F)
+        err2 = err[:, None] @ br.weights[-1].T
+        for l in range(L - 2, -1, -1):
+            delta = (_dact(pre[l]) * err2).astype(F)
+            gb[l] = delta.sum(axis=0).astype(F)
+            inp = x if l == 0 else acts[l - 1]
+            gw[l] = (inp.T @ delta).astype(F)
+            if l > 0:
+                err2 = delta @ br.weights[l].T
+        for l in range(L):
+            if self.is_ard and l < L - 1:
+                prior = np.asarray(br.w_prec[l], F)[:, None] * br.weights[l]
+            else:
+                prior = float(br.w_prec[l]) * br.weights[l]
+            gw[l] = (-(err_prec * gw[l] + prior)).astype(F)
+        for l in range(L - 1):
+            gb[l] = (
+                -(float(br.b_prec[l]) * br.biases[l] + err_prec * gb[l])
+            ).astype(F)
+        g_wprec = []
+        for l in range(L - 1):
+            shape, scale = hy.layer(l, L)
+            w = br.weights[l]
+            if self.is_ard:
+                lam = np.asarray(br.w_prec[l], F)
+                row_ssq = np.sum(w * w, axis=1)
+                g_wprec.append(
+                    (
+                        (2.0 * shape + w.shape[1] - 2.0) / (2.0 * lam)
+                        - 1.0 / scale
+                        - row_ssq / 2.0
+                    ).astype(F)
+                )
+            else:
+                lam = float(br.w_prec[l])
+                g_wprec.append(
+                    F(
+                        (2.0 * shape + w.size - 2.0) / (2.0 * lam)
+                        - 1.0 / scale
+                        - float(np.sum(w * w)) / 2.0
+                    )
+                )
+        shape, scale = hy.layer(L - 1, L)
+        lam = float(br.w_prec[-1])
+        g_wprec.append(
+            F(
+                (2.0 * shape + self.global_num_out - 2.0) / (2.0 * lam)
+                - 1.0 / scale
+                - (float(np.sum(br.weights[-1] ** 2)) + reg_sum_others) / 2.0
+            )
+        )
+        g_bprec = []
+        for l in range(L - 1):
+            shape, scale = hy.layer(l, L)
+            b = br.biases[l]
+            g_bprec.append(
+                F(
+                    (2.0 * shape + b.size - 2.0) / (2.0 * float(br.b_prec[l]))
+                    - 1.0 / scale
+                    - float(np.sum(b * b)) / 2.0
+                )
+            )
+        g_err = F(
+            (2.0 * hy.output_shape + y.size - 2.0) / (2.0 * err_prec)
+            - 1.0 / hy.output_scale
+            - rss / 2.0
+        )
+        return gw, gb, g_wprec, g_bprec, g_err, rss
+
+    def _hmc_step_joint(self, rng, br, x, y, err_prec, cfg, reg_sum_others):
+        """branch_sampler.rs:1070-1178: leapfrog over params AND precisions
+        with mandatory random step sizes. Returns (code, y_pred or None,
+        new_err_prec). NaN Hamiltonians abort early (like the JAX sampler;
+        Rust's NaN > max is false so the reference instead carries NaN to a
+        guaranteed end-rejection — same outcome, different counter)."""
+        n = y.size
+        init_w = [w.copy() for w in br.weights]
+        init_b = [b.copy() for b in br.biases]
+        init_wp = [np.array(p, F) if isinstance(p, np.ndarray) else p
+                   for p in br.w_prec]
+        init_bp = list(br.b_prec)
+        init_err = err_prec
+
+        L = self.num_layers
+        n_params = sum(w.size for w in br.weights) + sum(
+            b.size for b in br.biases
+        )
+        n_prec = (
+            sum(np.size(p) for p in br.w_prec) + len(br.b_prec) + 1
+        )
+        prop = (n_params + n_prec) ** (-0.25) * cfg.hmc_step_size_factor
+        r = lambda shp: (rng.random(shp, dtype=np.float32) * prop).astype(F)
+        eps_w = [r(w.shape) for w in br.weights]
+        eps_b = [r(b.shape) for b in br.biases]
+        eps_wp = [r(np.shape(p)) if np.ndim(p) else F(rng.random() * prop)
+                  for p in br.w_prec]
+        eps_bp = [F(rng.random() * prop) for _ in br.b_prec]
+        eps_e = F(rng.random() * prop)
+
+        sn = lambda shp: rng.standard_normal(shp, dtype=np.float32)
+        p_w = [sn(w.shape) for w in br.weights]
+        p_b = [sn(b.shape) for b in br.biases]
+        p_wp = [sn(np.shape(p)) if np.ndim(p) else F(rng.standard_normal())
+                for p in br.w_prec]
+        p_bp = [F(rng.standard_normal()) for _ in br.b_prec]
+        p_e = F(rng.standard_normal())
+
+        def kinetic():
+            k = sum(float(np.sum(p * p)) for p in p_w)
+            k += sum(float(np.sum(p * p)) for p in p_b)
+            k += sum(float(np.sum(np.asarray(p) ** 2)) for p in p_wp)
+            k += sum(float(p * p) for p in p_bp)
+            k += float(p_e * p_e)
+            return 0.5 * k
+
+        def restore():
+            br.weights, br.biases = init_w, init_b
+            br.w_prec, br.b_prec = init_wp, init_bp
+
+        rss0 = self._rss(br, x, y)
+        neg_h0 = (
+            self._joint_log_density(br, err_prec, rss0, reg_sum_others, n)
+            - kinetic()
+        )
+        g = self._joint_gradient(br, x, y, err_prec, reg_sum_others)
+        for _step in range(cfg.hmc_integration_length):
+            gw, gb, g_wp, g_bp, g_e, _ = g
+            for l in range(L):
+                p_w[l] = (p_w[l] + 0.5 * eps_w[l] * gw[l]).astype(F)
+                br.weights[l] = (br.weights[l] + eps_w[l] * p_w[l]).astype(F)
+            for l in range(L - 1):
+                p_b[l] = (p_b[l] + 0.5 * eps_b[l] * gb[l]).astype(F)
+                br.biases[l] = (br.biases[l] + eps_b[l] * p_b[l]).astype(F)
+            for l in range(L):
+                p_wp[l] = np.asarray(p_wp[l] + 0.5 * eps_wp[l] * g_wp[l], F)
+                br.w_prec[l] = np.asarray(
+                    np.asarray(br.w_prec[l], F) + eps_wp[l] * p_wp[l], F
+                ) if np.ndim(br.w_prec[l]) else F(
+                    br.w_prec[l] + eps_wp[l] * p_wp[l]
+                )
+            for l in range(L - 1):
+                p_bp[l] = F(p_bp[l] + 0.5 * eps_bp[l] * g_bp[l])
+                br.b_prec[l] = F(br.b_prec[l] + eps_bp[l] * p_bp[l])
+            p_e = F(p_e + 0.5 * eps_e * g_e)
+            err_prec = F(err_prec + eps_e * p_e)
+
+            with np.errstate(invalid="ignore", divide="ignore"):
+                g = self._joint_gradient(br, x, y, err_prec, reg_sum_others)
+                gw, gb, g_wp, g_bp, g_e, rss = g
+                for l in range(L):
+                    p_w[l] = (p_w[l] + 0.5 * eps_w[l] * gw[l]).astype(F)
+                for l in range(L - 1):
+                    p_b[l] = (p_b[l] + 0.5 * eps_b[l] * gb[l]).astype(F)
+                for l in range(L):
+                    p_wp[l] = np.asarray(p_wp[l] + 0.5 * eps_wp[l] * g_wp[l], F)
+                for l in range(L - 1):
+                    p_bp[l] = F(p_bp[l] + 0.5 * eps_bp[l] * g_bp[l])
+                p_e = F(p_e + 0.5 * eps_e * g_e)
+                neg_h = (
+                    self._joint_log_density(
+                        br, err_prec, rss, reg_sum_others, n
+                    )
+                    - kinetic()
+                    if err_prec > 0
+                    and all(np.all(np.asarray(p) > 0) for p in br.w_prec)
+                    and all(p > 0 for p in br.b_prec)
+                    else float("nan")
+                )
+            if not (abs(neg_h - neg_h0) <= cfg.hmc_max_hamiltonian_error):
+                restore()
+                return 2, None, init_err
+        y_pred = self.predict_branch(br, x)
+        rr = y_pred - y
+        rss_f = float(rr @ rr)
+        if cfg.joint_accept == "reference":
+            # the upstream quirk: marginal density vs joint init Hamiltonian
+            ld_f = self._log_density(br, br.w_prec, err_prec, rss_f)
+        else:
+            ld_f = self._joint_log_density(
+                br, err_prec, rss_f, reg_sum_others, n
+            )
+        log_acc = (ld_f - kinetic()) - neg_h0
+        acc_p = 1.0 if log_acc >= 0.0 else math.exp(log_acc)
+        if rng.random() < acc_p:
+            return 0, y_pred, float(err_prec)
+        restore()
+        return 1, None, init_err
+
     # ---------------------------------------------------------------- train
     def train(
         self,
@@ -377,8 +661,10 @@ class OracleNet:
                 br.w_prec[-1] = self.global_output_precision
                 reg_sum_others = self.global_reg_sum - self._stat(br.weights[-1])
 
-                # Gibbs draws (net.rs:270-277)
-                if self.model_type != "std_normal":
+                # Gibbs draws (net.rs:270-277); joint HMC moves precisions
+                # inside the trajectory instead (net.rs:270: the draws are
+                # skipped when joint_hmc is set)
+                if self.model_type != "std_normal" and not cfg.joint_hmc:
                     err_prec = ridge_multi_precision(
                         rng,
                         self.hyper.output_shape,
@@ -396,6 +682,21 @@ class OracleNet:
                                 br.w_prec[l] = lasso_multi_precision(
                                     rng, shape, scale,
                                     float(np.sum(np.abs(w))), w.size,
+                                )
+                            elif self.is_ard:
+                                # per-row Gibbs (ridge_ard.rs:271-301):
+                                # posterior shape counts the ROW's ncols
+                                post_shape = shape + w.shape[1] / 2.0
+                                row_ssq = np.sum(w * w, axis=1)
+                                br.w_prec[l] = np.asarray(
+                                    [
+                                        rng.gamma(
+                                            post_shape,
+                                            2.0 * scale / (2.0 + scale * ss),
+                                        )
+                                        for ss in row_ssq
+                                    ],
+                                    F,
                                 )
                             else:
                                 br.w_prec[l] = ridge_multi_precision(
@@ -429,9 +730,15 @@ class OracleNet:
                 prev_pred = self.predict_branch(br, X_groups[g])
                 residual = (residual + prev_pred).astype(F)
 
-                code, y_pred = self._hmc_step(
-                    rng, br, X_groups[g], residual, err_prec, cfg
-                )
+                if cfg.joint_hmc:
+                    code, y_pred, err_prec = self._hmc_step_joint(
+                        rng, br, X_groups[g], residual, err_prec, cfg,
+                        reg_sum_others,
+                    )
+                else:
+                    code, y_pred = self._hmc_step(
+                        rng, br, X_groups[g], residual, err_prec, cfg
+                    )
                 self.counts[code] += 1
                 if code == 0:
                     residual = (residual - y_pred).astype(F)
@@ -475,13 +782,16 @@ class OracleNet:
                 OracleBranch(
                     [w.copy() for w in b.weights],
                     [bb.copy() for bb in b.biases],
-                    list(b.w_prec),
+                    [np.array(p) if isinstance(p, np.ndarray) else p
+                     for p in b.w_prec],
                     list(b.b_prec),
                 )
                 for b in self.branches
             ]
         )
         self.sample_biases.append(self.output_bias)
+        self.sample_err_prec.append(float(self.global_error_precision))
+        self.sample_out_prec.append(float(self.global_output_precision))
 
     def posterior_predict(self, X_groups) -> np.ndarray:
         """predict subcommand: one row per saved sample (rs-bann.rs:291-311)."""
@@ -492,6 +802,20 @@ class OracleNet:
                 yhat = yhat + self.predict_branch(br, x)
             out.append(yhat)
         return np.stack(out)
+
+    def posterior_branch_means(self, X_groups) -> np.ndarray:
+        """Posterior-mean per-branch genetic values [G, n] (the quantity
+        behind the reference's branch_r2s, net.rs:648-656)."""
+        acc = None
+        for sample in self.samples:
+            cur = np.stack(
+                [
+                    self.predict_branch(br, x)
+                    for br, x in zip(sample, X_groups)
+                ]
+            )
+            acc = cur if acc is None else acc + cur
+        return acc / len(self.samples)
 
     # ------------------------------------------------------------- builders
     @staticmethod
@@ -541,12 +865,29 @@ class OracleNet:
                     )
                 else:
                     bs.append(np.zeros(widths[l + 1], F))
-            # maximum-likelihood initial precisions (:237-251); zero-variance
-            # groups (all-zero default biases) yield inf, as in the reference
-            w_prec = [
-                float(w.size) / float(np.sum(w * w)) if np.sum(w * w) > 0 else np.inf
-                for w in ws
-            ]
+            # maximum-likelihood initial precisions (:237-251; ARD per-row
+            # :308-328); zero-variance groups (all-zero default biases)
+            # yield inf, as in the reference
+            if model_type == "ridge_ard":
+                w_prec = []
+                for l, w in enumerate(ws):
+                    if l < L - 1:
+                        row_ssq = np.sum(w * w, axis=1)
+                        w_prec.append(
+                            np.where(
+                                row_ssq > 0,
+                                w.shape[1] / np.maximum(row_ssq, 1e-30),
+                                np.inf,
+                            ).astype(F)
+                        )
+                    else:
+                        ssq = float(np.sum(w * w))
+                        w_prec.append(w.size / ssq if ssq > 0 else np.inf)
+            else:
+                w_prec = [
+                    float(w.size) / float(np.sum(w * w)) if np.sum(w * w) > 0 else np.inf
+                    for w in ws
+                ]
             b_prec = [
                 float(b.size) / float(np.sum(b * b)) if np.sum(b * b) > 0 else np.inf
                 for b in bs

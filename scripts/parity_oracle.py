@@ -1,22 +1,34 @@
-"""Statistical parity: JAX sequential sampler vs the NumPy reference oracle.
+"""Statistical parity: JAX samplers vs the NumPy reference-mirror oracle.
 
-Runs the reference's canonical sim_train_pred.sh workload (lasso-base, b=1,
-m=20, n=1000, w=10, d=0, il=300, gamma(3,1) init; h2 in {0.25,0.5,0.8,0.95})
-R times per side with fresh seeds:
+Workloads (VERDICT r2 #4 scope):
 
-  * side A: rs_bann_tpu sequential trainer (the reference-exact schedule)
-  * side B: rs_bann_tpu.oracle.OracleNet — a pure-NumPy mirror of the
-    reference binary's exact update order (see oracle.py docstring)
+  * canonical — the reference's sim_train_pred.sh config (lasso-base, b=1,
+    m=20, n=1000, w=10, d=0, il=300, gamma(3,1) init; h2 in
+    {0.25,0.5,0.8,0.95}), JAX sequential vs oracle.
+  * multibranch — G=6 ridge_base (m=10, n=800, w=5, d=0, h2=0.8): the JAX
+    sequential AND parallel AND hybrid schedules each against the same
+    oracle baseline. This exercises the cross-branch coupling (shared
+    residual, lambda_e / lambda_out / summary-stat propagation,
+    net.rs:258-334) and validates the block-parallel schedules against the
+    reference algorithm, not just internally.
+  * ard — G=6 ridge_ard sequential vs the oracle's per-row Gibbs
+    (ridge_ard.rs:271-301).
+  * joint — G=4 ridge_base joint HMC (params AND precisions,
+    branch_sampler.rs:1070-1178) vs the oracle in consistent-accept mode
+    (the upstream accept quirk is documented in oracle.py / DESIGN.md).
 
-and compares, per h2: posterior-mean test r2, acceptance rate, early
-rejection rate, final train mse. Verdict per metric: |dmean| <= 2 * combined
-standard error. Writes PARITY.json (merged into BASELINE_SELF.json by
---merge).
+Compared per row (mean over fresh-seed replicates, tolerance 2 x combined
+standard error): posterior-mean test r2, acceptance rate, early-rejection
+rate, final train mse, AND posterior summaries — lambda_e posterior
+mean/sd, shared output-weight precision posterior mean, and the mean
+per-branch genetic-value r2 (corr^2 of the posterior-mean branch
+prediction with y_test) — not just run stats.
 
 Forces CPU: parity is backend-independent and the tunneled TPU is a
 single-client resource.
 
-Usage: python scripts/parity_oracle.py [--reps 8] [--quick] [--merge]
+Usage: python scripts/parity_oracle.py [--reps 16] [--quick] [--merge]
+       [--only canonical,multibranch,ard,joint]
 """
 
 import argparse
@@ -33,32 +45,65 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+SUMMARY_KEYS = (
+    "test_r2", "acc", "early", "mse_train_final",
+    "lam_e_mean", "lam_e_sd", "lam_out_mean", "branch_r2_mean",
+)
 
-def run_oracle(Xg_tr, y_tr, Xg_te, y_te, cl, il, seed):
-    from rs_bann_tpu.oracle import OracleCfg, OracleHyper, OracleNet
+
+def _branch_r2_mean(branch_preds, y_te):
+    """Mean over branches of corr^2(posterior-mean branch pred, y_test);
+    zero-variance branch predictions count as r2 = 0."""
+    out = []
+    for g in range(branch_preds.shape[0]):
+        p = branch_preds[g]
+        if p.std() < 1e-12:
+            out.append(0.0)
+        else:
+            out.append(float(np.corrcoef(p, y_te)[0, 1] ** 2))
+    return float(np.mean(out))
+
+
+def run_oracle(model_type, Xg_tr, y_tr, Xg_te, y_te, cl, il, seed,
+               joint=False, step_factor=1.0):
+    from rs_bann_tpu.oracle import OracleCfg, OracleNet
 
     net = OracleNet.build(
-        "lasso_base", [x.shape[1] for x in Xg_tr], hidden=10, depth=0,
-        summary=10, init_gamma=(3.0, 1.0), seed=seed + 1000,
+        model_type, [x.shape[1] for x in Xg_tr], hidden=10, depth=0,
+        summary=_SUMMARY_W, init_gamma=(3.0, 1.0), seed=seed + 1000,
     )
-    cfg = OracleCfg(chain_length=cl, burn_in=cl // 2, hmc_integration_length=il)
+    cfg = OracleCfg(
+        chain_length=cl, burn_in=cl // 2, hmc_integration_length=il,
+        joint_hmc=joint, hmc_step_size_factor=step_factor,
+        joint_accept="consistent",
+    )
     t0 = time.time()
     net.train(Xg_tr, y_tr, cfg, seed=seed)
     wall = time.time() - t0
     preds = net.posterior_predict(Xg_te)
     pm = preds.mean(axis=0)
-    r2 = float(np.corrcoef(pm, y_te)[0, 1] ** 2)
+    bm = net.posterior_branch_means(Xg_te)  # [G, n]
     tot = net.counts.sum()
+    lam_e = np.asarray(net.sample_err_prec)
     return {
-        "test_r2": r2,
+        "test_r2": float(np.corrcoef(pm, y_te)[0, 1] ** 2),
         "acc": float(net.counts[0] / tot),
         "early": float(net.counts[2] / tot),
         "mse_train_final": net.mse_train[-1],
+        "lam_e_mean": float(lam_e.mean()),
+        "lam_e_sd": float(lam_e.std(ddof=1)) if len(lam_e) > 1 else 0.0,
+        "lam_out_mean": float(np.mean(net.sample_out_prec)),
+        "branch_r2_mean": _branch_r2_mean(bm, y_te),
         "wall_s": wall,
     }
 
 
-def run_jax(dtr, dte, arch_m, cl, il, seed, outdir):
+_SUMMARY_W = 10  # module-level so run_oracle/run_jax agree per workload
+
+
+def run_jax(model_type, dtr, dte, arch_m, cl, il, seed, outdir,
+            update_mode="sequential", joint=False, step_factor=1.0,
+            block_size=0):
     from rs_bann_tpu.models import density as D
     from rs_bann_tpu.models.arch import NetArch
     from rs_bann_tpu.models.init import InitCfg, init_net
@@ -67,15 +112,19 @@ def run_jax(dtr, dte, arch_m, cl, il, seed, outdir):
     from rs_bann_tpu.train import train
     from rs_bann_tpu.vis import posterior_predictions
 
-    arch = NetArch.from_width_rules(arch_m, 0, ("fixed", 10), ("like_hidden",))
+    arch = NetArch.from_width_rules(
+        arch_m, 0, ("fixed", 10), ("fixed", _SUMMARY_W)
+    )
     state, _ = init_net(
-        arch, "lasso_base",
+        arch, model_type,
         InitCfg(seed=seed + 1000, init_gamma_shape=3.0, init_gamma_scale=1.0),
     )
-    net = Net("lasso_base", arch, D.Hyperparameters(), state)
+    net = Net(model_type, arch, D.Hyperparameters(), state)
     cfg = MCMCCfg(
         chain_length=cl, burn_in=cl // 2, hmc_integration_length=il,
-        hmc_step_size_mode="izmailov", update_mode="sequential",
+        hmc_step_size_mode="random" if joint else "izmailov",
+        hmc_step_size_factor=step_factor,
+        update_mode=update_mode, block_size=block_size, joint_hmc=joint,
         outpath=outdir, seed=seed,
     )
     t0 = time.time()
@@ -83,84 +132,222 @@ def run_jax(dtr, dte, arch_m, cl, il, seed, outdir):
     wall = time.time() - t0
     preds = posterior_predictions(f"{outdir}/models", dte.X)
     pm = preds.mean(axis=0)
-    r2 = float(np.corrcoef(pm, np.asarray(dte.y))[0, 1] ** 2)
+    y_te = np.asarray(dte.y)
+
+    # posterior summaries from the per-sample model store
+    files = sorted(
+        (p for p in Path(f"{outdir}/models").iterdir() if p.suffix == ".npz"),
+        key=lambda p: int(p.stem),
+    )
+    lam_e, lam_out, bsum = [], [], None
+    act = arch.activation
+    for p in files:
+        s = Net.load(str(p)).state
+        lam_e.append(float(np.asarray(s.precisions.error)))
+        lam_out.append(float(np.asarray(s.precisions.weights[-1][0]).ravel()[0]))
+        bp = np.asarray(
+            jax.vmap(lambda x, w, b: D.predict(act, w, b, x))(
+                dte.X, s.params.weights, s.params.biases
+            )
+        )
+        bsum = bp if bsum is None else bsum + bp
+    lam_e = np.asarray(lam_e)
     return {
-        "test_r2": r2,
+        "test_r2": float(np.corrcoef(pm, y_te)[0, 1] ** 2),
         "acc": stats.acceptance_rate(),
         "early": stats.early_rejection_rate(),
         "mse_train_final": stats.mse_train[-1],
+        "lam_e_mean": float(lam_e.mean()),
+        "lam_e_sd": float(lam_e.std(ddof=1)) if len(lam_e) > 1 else 0.0,
+        "lam_out_mean": float(np.mean(lam_out)),
+        "branch_r2_mean": _branch_r2_mean(bsum / len(files), y_te),
         "wall_s": wall,
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=8)
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--cl", type=int, default=100)
-    ap.add_argument("--il", type=int, default=300)
-    ap.add_argument("--merge", action="store_true",
-                    help="merge the parity table into BASELINE_SELF.json")
-    ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / "PARITY.json"))
-    args = ap.parse_args()
-
+def make_workload(model_type, m, b, n, w, h2, seed):
+    """simulate-xy + standardized per-branch matrices for both sides."""
     import tempfile
 
     from rs_bann_tpu.sim import simulate_xy
 
-    h2s = [0.8] if args.quick else [0.25, 0.5, 0.8, 0.95]
-    reps = 2 if args.quick else args.reps
-    cl, il = (20, 50) if args.quick else (args.cl, args.il)
-    m, b, n, w, d = 20, 1, 1000, 10, 0
+    td = tempfile.mkdtemp(prefix="parity_")
+    sim = simulate_xy(
+        td, model_type, "tanh", m, b, n, w, 0, heritability=h2,
+        init_gamma_shape=3.0, init_gamma_scale=1.0, seed=seed,
+    )
+    dtr = sim.gen_train.to_stacked(sim.arch, sim.y_train)
+    dte = sim.gen_test.to_stacked(sim.arch, sim.y_test)
+    mks = sim.gen_train.num_markers_per_group()
+    Xg_tr = [np.asarray(dtr.X[g][:, : mks[g]]) for g in range(b)]
+    Xg_te = [np.asarray(dte.X[g][:, : mks[g]]) for g in range(b)]
+    return td, dtr, dte, mks, Xg_tr, np.asarray(dtr.y), Xg_te, np.asarray(dte.y)
 
+
+def compare(rows_j, rows_o, meta, informational=()):
+    """``informational`` keys are reported but not pass/failed: for the
+    block-parallel schedules the acceptance/early-rejection rates are
+    properties of a DIFFERENT (valid) kernel — stale-residual targets change
+    the proposal — while the invariant posterior is what must agree."""
+    rec = dict(meta)
+    for key in SUMMARY_KEYS:
+        a = np.array([r[key] for r in rows_j])
+        o = np.array([r[key] for r in rows_o])
+        se = float(np.sqrt(a.var(ddof=1) / len(a) + o.var(ddof=1) / len(o)))
+        diff = float(a.mean() - o.mean())
+        rec[key] = {
+            "jax_mean": round(float(a.mean()), 4),
+            "oracle_mean": round(float(o.mean()), 4),
+            "diff": round(diff, 4),
+            "combined_se": round(se, 4),
+            "verdict": (
+                "info" if key in informational
+                else "pass" if abs(diff) <= 2.0 * se else "FAIL"
+            ),
+        }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cl", type=int, default=100)
+    ap.add_argument("--il", type=int, default=300)
+    ap.add_argument("--only", default="canonical,multibranch,ard,joint")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge the parity table into BASELINE_SELF.json")
+    ap.add_argument("--out", default=str(
+        Path(__file__).resolve().parent.parent / "PARITY.json"))
+    args = ap.parse_args()
+    only = set(args.only.split(","))
+
+    import shutil
+
+    global _SUMMARY_W
+    reps = 2 if args.quick else args.reps
     table = []
-    for h2 in h2s:
+
+    # ---- canonical: lasso_base b=1 (sim_train_pred.sh), summary width 10
+    if "canonical" in only:
+        _SUMMARY_W = 10
+        h2s = [0.8] if args.quick else [0.25, 0.5, 0.8, 0.95]
+        cl, il = (20, 50) if args.quick else (args.cl, args.il)
+        for h2 in h2s:
+            rows_j, rows_o = [], []
+            for rep in range(reps):
+                td, dtr, dte, mks, Xg_tr, y_tr, Xg_te, y_te = make_workload(
+                    "lasso_base", 20, 1, 1000, 10, h2, seed=100 * rep + 11
+                )
+                rows_j.append(run_jax(
+                    "lasso_base", dtr, dte, mks, cl, il, rep, f"{td}/run"))
+                rows_o.append(run_oracle(
+                    "lasso_base", Xg_tr, y_tr, Xg_te, y_te, cl, il, rep))
+                shutil.rmtree(td, ignore_errors=True)
+                print(f"canonical h2={h2} rep={rep}: "
+                      f"jax r2={rows_j[-1]['test_r2']:.3f} "
+                      f"oracle r2={rows_o[-1]['test_r2']:.3f}", flush=True)
+            table.append(compare(rows_j, rows_o, {
+                "workload": "canonical lasso_base b=1 m=20 n=1000",
+                "h2": h2, "mode": "sequential", "reps": reps,
+                "chain_length": cl, "il": il,
+            }))
+            print(json.dumps(table[-1]), flush=True)
+
+    # ---- multibranch: G=6 ridge_base, all three schedules vs one oracle
+    if "multibranch" in only:
+        _SUMMARY_W = 5
+        cl, il = (20, 30) if args.quick else (150, 100)
+        G = 6
+        rows_o = []
+        rows_m = {"sequential": [], "parallel": [], "hybrid": []}
+        for rep in range(reps):
+            td, dtr, dte, mks, Xg_tr, y_tr, Xg_te, y_te = make_workload(
+                "ridge_base", 10, G, 800, 5, 0.8, seed=300 * rep + 17
+            )
+            rows_o.append(run_oracle(
+                "ridge_base", Xg_tr, y_tr, Xg_te, y_te, cl, il, rep))
+            for mode in rows_m:
+                rows_m[mode].append(run_jax(
+                    "ridge_base", dtr, dte, mks, cl, il, rep,
+                    f"{td}/run_{mode}", update_mode=mode,
+                    block_size=2 if mode == "hybrid" else 0,
+                ))
+            shutil.rmtree(td, ignore_errors=True)
+            print(f"multibranch rep={rep}: oracle r2="
+                  f"{rows_o[-1]['test_r2']:.3f} " + " ".join(
+                      f"{m}={rows_m[m][-1]['test_r2']:.3f}" for m in rows_m),
+                  flush=True)
+        for mode in ("sequential", "parallel", "hybrid"):
+            table.append(compare(
+                rows_m[mode], rows_o,
+                {
+                    "workload": f"multibranch ridge_base G={G} m=10 n=800",
+                    "h2": 0.8, "mode": mode, "reps": reps,
+                    "chain_length": cl, "il": il,
+                },
+                informational=() if mode == "sequential"
+                else ("acc", "early"),
+            ))
+            print(json.dumps(table[-1]), flush=True)
+
+    # ---- ard: G=6 ridge_ard sequential (per-row Gibbs)
+    if "ard" in only:
+        _SUMMARY_W = 5
+        cl, il = (20, 30) if args.quick else (150, 100)
+        G = 6
         rows_j, rows_o = [], []
         for rep in range(reps):
-            with tempfile.TemporaryDirectory() as td:
-                sim = simulate_xy(
-                    td, "lasso_base", "tanh", m, b, n, w, d, heritability=h2,
-                    init_gamma_shape=3.0, init_gamma_scale=1.0, seed=100 * rep + 11,
-                )
-                dtr = sim.gen_train.to_stacked(sim.arch, sim.y_train)
-                dte = sim.gen_test.to_stacked(sim.arch, sim.y_test)
-                # oracle sees the SAME standardized per-branch matrices
-                mks = sim.gen_train.num_markers_per_group()
-                Xg_tr = [np.asarray(dtr.X[g][:, : mks[g]]) for g in range(b)]
-                Xg_te = [np.asarray(dte.X[g][:, : mks[g]]) for g in range(b)]
-                y_tr = np.asarray(dtr.y)
-                y_te = np.asarray(dte.y)
-                rows_j.append(
-                    run_jax(dtr, dte, mks, cl, il, seed=rep, outdir=f"{td}/run")
-                )
-                rows_o.append(run_oracle(Xg_tr, y_tr, Xg_te, y_te, cl, il, seed=rep))
-                print(
-                    f"h2={h2} rep={rep}: jax r2={rows_j[-1]['test_r2']:.3f} "
-                    f"acc={rows_j[-1]['acc']:.2f} early={rows_j[-1]['early']:.2f} | "
-                    f"oracle r2={rows_o[-1]['test_r2']:.3f} "
-                    f"acc={rows_o[-1]['acc']:.2f} early={rows_o[-1]['early']:.2f}",
-                    flush=True,
-                )
-        rec = {"h2": h2, "reps": reps, "chain_length": cl, "il": il}
-        for key in ("test_r2", "acc", "early", "mse_train_final"):
-            a = np.array([r[key] for r in rows_j])
-            o = np.array([r[key] for r in rows_o])
-            se = float(np.sqrt(a.var(ddof=1) / len(a) + o.var(ddof=1) / len(o)))
-            diff = float(a.mean() - o.mean())
-            rec[key] = {
-                "jax_mean": round(float(a.mean()), 4),
-                "oracle_mean": round(float(o.mean()), 4),
-                "diff": round(diff, 4),
-                "combined_se": round(se, 4),
-                "verdict": "pass" if abs(diff) <= 2.0 * se else "FAIL",
-            }
-        table.append(rec)
-        print(json.dumps(rec), flush=True)
+            td, dtr, dte, mks, Xg_tr, y_tr, Xg_te, y_te = make_workload(
+                "ridge_ard", 10, G, 800, 5, 0.8, seed=500 * rep + 23
+            )
+            rows_j.append(run_jax(
+                "ridge_ard", dtr, dte, mks, cl, il, rep, f"{td}/run"))
+            rows_o.append(run_oracle(
+                "ridge_ard", Xg_tr, y_tr, Xg_te, y_te, cl, il, rep))
+            shutil.rmtree(td, ignore_errors=True)
+            print(f"ard rep={rep}: jax r2={rows_j[-1]['test_r2']:.3f} "
+                  f"oracle r2={rows_o[-1]['test_r2']:.3f}", flush=True)
+        table.append(compare(rows_j, rows_o, {
+            "workload": f"ridge_ard G={G} m=10 n=800 (per-row Gibbs)",
+            "h2": 0.8, "mode": "sequential", "reps": reps,
+            "chain_length": cl, "il": il,
+        }))
+        print(json.dumps(table[-1]), flush=True)
+
+    # ---- joint: G=4 ridge_base joint HMC (consistent accept both sides)
+    if "joint" in only:
+        _SUMMARY_W = 5
+        cl, il = (20, 30) if args.quick else (150, 50)
+        G, fac = 4, 0.05
+        rows_j, rows_o = [], []
+        for rep in range(reps):
+            td, dtr, dte, mks, Xg_tr, y_tr, Xg_te, y_te = make_workload(
+                "ridge_base", 10, G, 800, 5, 0.8, seed=700 * rep + 29
+            )
+            rows_j.append(run_jax(
+                "ridge_base", dtr, dte, mks, cl, il, rep, f"{td}/run",
+                joint=True, step_factor=fac))
+            rows_o.append(run_oracle(
+                "ridge_base", Xg_tr, y_tr, Xg_te, y_te, cl, il, rep,
+                joint=True, step_factor=fac))
+            shutil.rmtree(td, ignore_errors=True)
+            print(f"joint rep={rep}: jax r2={rows_j[-1]['test_r2']:.3f} "
+                  f"acc={rows_j[-1]['acc']:.2f} | "
+                  f"oracle r2={rows_o[-1]['test_r2']:.3f} "
+                  f"acc={rows_o[-1]['acc']:.2f}", flush=True)
+        table.append(compare(rows_j, rows_o, {
+            "workload": f"joint HMC ridge_base G={G} m=10 n=800 "
+                        "(consistent accept; upstream quirk documented)",
+            "h2": 0.8, "mode": "sequential+joint", "reps": reps,
+            "chain_length": cl, "il": il, "step_factor": fac,
+        }))
+        print(json.dumps(table[-1]), flush=True)
 
     out = {
-        "workload": "sim_train_pred.sh lasso-base b=1 m=20 n=1000 w=10 d=0 gamma(3,1)",
-        "comparison": "rs_bann_tpu sequential sampler vs NumPy reference-mirror oracle",
+        "comparison": "rs_bann_tpu samplers vs NumPy reference-mirror oracle",
         "tolerance": "2 x combined standard error over fresh-seed replicates",
+        "summaries": list(SUMMARY_KEYS),
         "rows": table,
     }
     with open(args.out, "w") as f:
