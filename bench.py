@@ -5,6 +5,8 @@ Workloads:
      layer of 32, block-parallel update mode, 4 vectorized chains (the
      multi-branch + multi-chain configuration the rs-bann reference cannot
      express: it runs one chain, one branch at a time, host-driven).
+     Feature-major (FeatX) layout: activations are [width, n] so the large
+     n axis fills the 128 MXU lanes — see models/density.FeatX.
   2. Packed genome-scale sweep — 10k SNPs in 100 groups, n=100,000, the
      docs/GENOME_SCALE.md production recipe shape (ridge_ard + identity +
      hybrid + 2-bit packed genotypes with fused Pallas decode).
@@ -13,13 +15,23 @@ Headline metric: leapfrog steps/s/chip, one step = one per-branch leapfrog
 integration step (forward+backward pass + momentum update) = chains x
 branches x integration_length x sweeps.
 
-Roofline accounting (VERDICT r1 #4): matmul FLOPs per leapfrog step are
-counted from the true layer dims (fwd 2*n*P per layer; backward re-does
-every fwd matmul for dW plus the dX chain for all layers but the input:
-F_step = 3*F_fwd - 2*n*m*h0), and again from the XLA-padded dims (minor
-dims tiled to 128 lanes, second-minor to 8); the ratio is the padded-lane
-waste. MFU is reported against the chip's bf16 matmul peak (the MXU path
-XLA takes for f32 inputs at DEFAULT precision on v5e).
+Bench hygiene (VERDICT r2 #7): every timed section repeats REPEATS times and
+reports the median with min/max spread — tunnel-attached chips show real
+run-to-run wall-clock variance, and a single sample cannot distinguish a
+regression from tunnel noise.
+
+Roofline accounting: true matmul FLOPs per leapfrog step from the layer
+dims (fwd 2*n*in*out per layer; backward = dW for every layer + the dX
+chain for all layers but the input). The MXU issue model pads, per matmul,
+the contraction dim and the output minor dim to 128 lanes and the output
+second-minor dim to 8 sublanes. Feature-major shapes put n in lanes
+everywhere, so the residual issue waste is contraction padding only
+(2.8x at this shape vs 8x for the sample-major layout benched in r01/r02).
+
+MFU is reported against BOTH peaks: the bf16 matmul peak (the MXU path XLA
+takes for f32 inputs at DEFAULT precision — inputs are bf16-rounded,
+accumulation is f32) and the true-f32 peak (HIGHEST precision = 6 bf16
+passes, peak/6) so the number cannot be misread in either direction.
 
 ESS: per-parameter effective samples/s over a kept-sample window — one
 output weight per branch per chain plus the error precision — reported as
@@ -39,6 +51,8 @@ import sys
 import time
 
 import numpy as np
+
+REPEATS = 3
 
 
 def log(*a):
@@ -63,7 +77,7 @@ PEAK_TFLOPS = {
 }
 
 
-def _round_up(x, k):
+def _r(x, k):
     return -(-x // k) * k
 
 
@@ -78,15 +92,52 @@ def leapfrog_flops(n, widths):
     return 3 * f_fwd - f_dx0
 
 
-def layer0_lane_waste(widths):
-    """MXU lane-padding factor of the DOMINANT (layer-0) matmul,
-    [n, m] @ [m, h]: the systolic array processes 128x128 tiles, so a
-    contraction of m and an output of h occupy ceil(m/128)*128 x
-    ceil(h/128)*128 lanes. The tiny downstream matmuls (h x s, s x 1) are
-    not modeled — XLA does not necessarily issue those through full MXU
-    tiles — so this is a lower bound on issue work, not an exact count."""
-    m, h = widths[0], widths[1]
-    return (_round_up(m, 128) / m) * (_round_up(h, 128) / h)
+def leapfrog_issue_fm(n, widths):
+    """MXU issue FLOPs of one leapfrog step in the FEATURE-MAJOR layout.
+
+    Every matmul has n in the 128-lane minor dim (n is 128-aligned here);
+    padding model per matmul [A, K] @ [K, B=n]: A -> multiple of 8 sublanes,
+    K -> multiple of 128 contraction lanes. The width-1 output layer runs
+    on the VPU (excluded). Terms: fwd z_l = W_l^T a (K=in_l, A=out_l);
+    bwd dW_l^T = g a^T (K=n full, B=in_l -> 128); bwd da_l = W_l g
+    (K=out_l, A=in_l), for every layer except the input one."""
+    dims = list(widths)
+    L = len(dims) - 1
+    issue = 0
+    for l in range(L - 1):  # fwd, all but the VPU output layer
+        issue += 2 * _r(dims[l + 1], 8) * _r(dims[l], 128) * n
+    for l in range(L - 1):  # dW^T
+        issue += 2 * _r(dims[l + 1], 8) * n * _r(dims[l], 128)
+    for l in range(1, L - 1):  # dX chain (not input layer, output on VPU)
+        issue += 2 * _r(dims[l], 8) * _r(dims[l + 1], 128) * n
+    # the dX chain INTO the last hidden activation comes from the VPU outer
+    # product with w_out — no MXU issue
+    return issue
+
+
+def leapfrog_issue_sample_major(n, widths):
+    """Issue FLOPs of the r01/r02 sample-major layout ([n, in] @ [in, out]):
+    contraction in -> 128 AND output lanes out -> 128 pad on every matmul."""
+    dims = list(widths)
+    L = len(dims) - 1
+    issue = 0
+    for l in range(L):  # fwd
+        issue += 2 * n * _r(dims[l], 128) * _r(dims[l + 1], 128)
+    for l in range(L):  # dW: [in, n] @ [n, out]
+        issue += 2 * _r(dims[l], 8) * n * _r(dims[l + 1], 128)
+    for l in range(1, L):  # dX
+        issue += 2 * n * _r(dims[l + 1], 128) * _r(dims[l], 128)
+    return issue
+
+
+def _timed(fn, reps=REPEATS):
+    """Median + spread of reps timings of fn() (each fn() must sync)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts)), float(min(ts)), float(max(ts))
 
 
 def main():
@@ -103,7 +154,8 @@ def main():
 
     kind = jax.devices()[0].device_kind
     peak = PEAK_TFLOPS.get(kind, 197.0)
-    log(f"device: {kind} (bf16 peak {peak} TF)")
+    peak_f32 = peak / 6.0  # HIGHEST precision = bf16x6 passes
+    log(f"device: {kind} (bf16 peak {peak} TF, true-f32 peak {peak_f32:.1f} TF)")
     # warm the tunnel claim before any timed work: the first op after
     # another process held the TPU can stall 45-130s regardless of size
     t0 = time.time()
@@ -118,9 +170,10 @@ def main():
     net = Net("ridge_base", arch, D.Hyperparameters(), state)
 
     rng = np.random.default_rng(0)
-    X = np.zeros((G, n, arch.m_pad), np.float32)
-    X[:, :, :m] = rng.standard_normal((G, n, m), dtype=np.float32)
-    X = jnp.asarray(X)
+    # feature-major [G, m_pad, n]: n fills the MXU lanes (models/density.FeatX)
+    Xf = np.zeros((G, arch.m_pad, n), np.float32)
+    Xf[:, :m, :] = rng.standard_normal((G, m, n), dtype=np.float32)
+    X = D.FeatX(jnp.asarray(Xf))
     y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     cfg = MCMCCfg(
@@ -146,24 +199,34 @@ def main():
     )(net.state, X, y, keys)
     jax.block_until_ready(carry)
 
-    log(f"sweep: G={G} m={m} n={n} h={h} d={depth} C={C} L={L}")
+    log(f"sweep: G={G} m={m} n={n} h={h} d={depth} C={C} L={L} [feature-major]")
     t0 = time.time()
     carry, stats = sweep(carry, X, y)
     sync(stats)
     compile_s = time.time() - t0
     log(f"compile+first sweep: {compile_s:.1f}s")
 
-    t0 = time.time()
-    for _ in range(sweeps):
-        carry, stats = sweep(carry, X, y)
-    sync(stats)
-    dt = time.time() - t0
+    state_box = {"carry": carry, "stats": stats}
+
+    def run_sweeps():
+        c = state_box["carry"]
+        for _ in range(sweeps):
+            c, s = sweep(c, X, y)
+        sync(s)
+        state_box["carry"], state_box["stats"] = c, s
+
+    dt_med, dt_min, dt_max = _timed(run_sweeps)
+    carry, stats = state_box["carry"], state_box["stats"]
     steps = sweeps * C * G * L
-    steps_per_s = steps / dt
-    acc = np.asarray(stats.counts)[:, 0].sum() / (sweeps * C * G + C * G)
+    steps_per_s = steps / dt_med
+    acc = np.asarray(stats.counts)[:, 0].sum() / (
+        (1 + REPEATS * sweeps) * C * G
+    )
     log(
-        f"{sweeps} sweeps in {dt:.2f}s -> {steps_per_s:,.0f} leapfrog steps/s/chip "
-        f"(mse={np.asarray(stats.mse_train).mean():.3f}, acc={acc:.2f})"
+        f"{sweeps} sweeps x {REPEATS}: median {dt_med:.3f}s "
+        f"[{dt_min:.3f}, {dt_max:.3f}] -> {steps_per_s:,.0f} leapfrog "
+        f"steps/s/chip (mse={np.asarray(stats.mse_train).mean():.3f}, "
+        f"acc={acc:.2f})"
     )
 
     # ---- roofline: model FLOPs vs achieved vs chip peak
@@ -171,17 +234,21 @@ def main():
     f_true = leapfrog_flops(n, widths)
     tflops_true = steps_per_s * f_true / 1e12
     mfu = tflops_true / peak
-    waste = layer0_lane_waste(widths)
+    issue_fm = leapfrog_issue_fm(n, widths)
+    issue_sm = leapfrog_issue_sample_major(n, widths)
+    waste = issue_fm / f_true
     issue_est = tflops_true * waste
     log(
-        f"model FLOPs/leapfrog-step: {f_true/1e6:.1f} MF true; layer-0 MXU "
-        f"lane padding {waste:.0f}x ({m}x{h} blocks in 128x128 tiles)"
+        f"model FLOPs/leapfrog-step: {f_true/1e6:.1f} MF true; feature-major "
+        f"MXU issue {issue_fm/1e6:.1f} MF ({waste:.2f}x contraction padding; "
+        f"sample-major layout would issue {issue_sm/f_true:.1f}x)"
     )
     log(
         f"achieved: {tflops_true:.1f} TF/s true-work = {100*mfu:.1f}% of "
-        f"{kind} bf16 peak; lane-padded issue >= {issue_est:.0f} TF/s "
-        f"({100*issue_est/peak:.0f}% of peak) -> the sweep is MXU-issue-"
-        f"bound on lane padding of small branch matmuls, not stalled"
+        f"{kind} bf16 peak ({100*tflops_true/peak_f32:.0f}% of the true-f32 "
+        f"bf16x6 peak); modeled issue {issue_est:.0f} TF/s "
+        f"({100*issue_est/peak:.0f}% of peak). The issue model puts the "
+        f"layout ceiling at {100/waste:.1f}% MFU for this shape."
     )
 
     # ---- effective samples per second, per PARAMETER (north-star #2):
@@ -232,15 +299,21 @@ def main():
     sync(base_stats)
     log(f"baseline compile+first sweep: {time.time() - t0:.1f}s")
     base_sweeps = 3
-    t0 = time.time()
-    for _ in range(base_sweeps):
-        base_carry, base_stats = base_sweep(base_carry, X, y)
-    sync(base_stats)
-    base_dt = time.time() - t0
-    base_steps_per_s = base_sweeps * G * L / base_dt
+    base_box = {"c": base_carry}
+
+    def run_base():
+        c = base_box["c"]
+        for _ in range(base_sweeps):
+            c, s = base_sweep(c, X, y)
+        sync(s)
+        base_box["c"] = c
+
+    b_med, b_min, b_max = _timed(run_base)
+    base_steps_per_s = base_sweeps * G * L / b_med
     log(
         f"sequential single-chain baseline (reference algorithm, compiled): "
-        f"{base_steps_per_s:,.0f} steps/s ({base_sweeps} sweeps in {base_dt:.2f}s)"
+        f"{base_steps_per_s:,.0f} steps/s (median of {REPEATS}x{base_sweeps} "
+        f"sweeps, [{b_min:.2f}, {b_max:.2f}]s)"
     )
 
     # ---- packed genome-scale entry (docs/GENOME_SCALE.md shape)
@@ -276,26 +349,39 @@ def main():
     p_compile = time.time() - t0
     log(f"packed compile+first sweep: {p_compile:.1f}s (X: {x_gb:.2f} GB HBM)")
     p_sweeps = 3
-    t0 = time.time()
-    for _ in range(p_sweeps):
-        pcarry, pstats = psweep(pcarry, pdata.X, pdata.y)
-    sync(pstats)
-    p_dt = time.time() - t0
-    p_steps_per_s = p_sweeps * pG * pL / p_dt
-    log(f"packed: {p_steps_per_s:,.0f} leapfrog steps/s ({p_dt/p_sweeps*1e3:.0f} ms/sweep)")
+    p_box = {"c": pcarry}
+
+    def run_packed():
+        c = p_box["c"]
+        for _ in range(p_sweeps):
+            c, s = psweep(c, pdata.X, pdata.y)
+        sync(s)
+        p_box["c"] = c
+
+    p_med, p_min, p_max = _timed(run_packed)
+    p_steps_per_s = p_sweeps * pG * pL / p_med
+    log(
+        f"packed: {p_steps_per_s:,.0f} leapfrog steps/s "
+        f"({p_med/p_sweeps*1e3:.0f} ms/sweep median, "
+        f"[{p_min/p_sweeps*1e3:.0f}, {p_max/p_sweeps*1e3:.0f}])"
+    )
 
     print(
         json.dumps(
             {
                 "metric": "hmc_leapfrog_steps_per_s_per_chip",
                 "value": round(steps_per_s, 1),
-                "unit": "leapfrog steps/s (fwd+bwd per branch) on G=64,m=64,n=4096,h=32,d=1,C=4",
+                "unit": "leapfrog steps/s (fwd+bwd per branch) on G=64,m=64,n=4096,h=32,d=1,C=4 [feature-major]",
                 "vs_baseline": round(steps_per_s / base_steps_per_s, 2),
+                "repeats": REPEATS,
+                "spread_s": [round(dt_min, 3), round(dt_med, 3), round(dt_max, 3)],
                 "compile_s": round(compile_s, 1),
                 "tflops_true": round(tflops_true, 1),
                 "mfu": round(mfu, 3),
-                "lane_waste_layer0_x": round(waste, 2),
-                "issue_tflops_lower_bound": round(issue_est, 1),
+                "mfu_vs_f32_peak": round(tflops_true / peak_f32, 3),
+                "issue_waste_x": round(waste, 2),
+                "issue_waste_sample_major_x": round(issue_sm / f_true, 2),
+                "layout_ceiling_mfu": round(1.0 / waste, 3),
                 "issue_frac_of_peak": round(issue_est / peak, 2),
                 "ess_per_s": {
                     "per_param_median": round(ess_med, 1),
@@ -305,7 +391,11 @@ def main():
                 "packed": {
                     "shape": f"G={pG},m={pm_},n={pn},ridge_ard,identity,hybrid,L={pL}",
                     "leapfrog_steps_per_s": round(p_steps_per_s, 1),
-                    "ms_per_sweep": round(p_dt / p_sweeps * 1e3, 1),
+                    "ms_per_sweep": round(p_med / p_sweeps * 1e3, 1),
+                    "ms_per_sweep_spread": [
+                        round(p_min / p_sweeps * 1e3, 1),
+                        round(p_max / p_sweeps * 1e3, 1),
+                    ],
                     "compile_s": round(p_compile, 1),
                     "x_hbm_gb": round(x_gb, 2),
                 },

@@ -149,6 +149,14 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
         help="keep genotypes 2-bit packed in HBM with fused decode (16x less "
         "device memory; best for genome-scale branches)",
     )
+    p.add_argument(
+        "--feat-major", action="store_true",
+        help="feature-major dense genotype layout [G, m_pad, n]: n occupies "
+        "the 128-lane minor dim in every sweep matmul — cuts MXU lane "
+        "padding for small branch widths and halves X memory vs the "
+        "sample-major dense form (mutually exclusive with "
+        "--packed-genotypes)",
+    )
 
 
 def _add_train_io_args(p: argparse.ArgumentParser):
@@ -416,11 +424,21 @@ def cmd_train_new(args):
     if args.packed_genotypes:
         from ..models.data import pack_stacked
 
+        assert not getattr(args, "feat_major", False), (
+            "--feat-major and --packed-genotypes are mutually exclusive"
+        )
         dtr = pack_stacked(arch, train_data.gen.bed, train_data.gen.groups,
                            train_data.y())
         dte = (
             pack_stacked(arch, test_data.gen.bed, test_data.gen.groups,
                          test_data.y())
+            if test_data is not None
+            else None
+        )
+    elif getattr(args, "feat_major", False):
+        dtr = train_data.gen.to_feature_major(arch, train_data.y())
+        dte = (
+            test_data.gen.to_feature_major(arch, test_data.y())
             if test_data is not None
             else None
         )
@@ -465,8 +483,21 @@ def cmd_train(args):
     log.info("Loading net")
     net = Net.load(str(model_path))
     net.perturb(args.perturb_params, args.perturb_precisions)
-    dtr = train_data.to_stacked(net.arch)
-    dte = test_data.to_stacked(net.arch) if test_data is not None else None
+    if getattr(args, "packed_genotypes", False):
+        dtr = train_data.gen.to_packed(net.arch, train_data.y())
+        dte = (
+            test_data.gen.to_packed(net.arch, test_data.y())
+            if test_data is not None else None
+        )
+    elif getattr(args, "feat_major", False):
+        dtr = train_data.gen.to_feature_major(net.arch, train_data.y())
+        dte = (
+            test_data.gen.to_feature_major(net.arch, test_data.y())
+            if test_data is not None else None
+        )
+    else:
+        dtr = train_data.to_stacked(net.arch)
+        dte = test_data.to_stacked(net.arch) if test_data is not None else None
     log.info("Training net")
     train(
         net, dtr, cfg, test_data=dte, report_interval=args.report_interval,

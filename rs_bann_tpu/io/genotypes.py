@@ -65,6 +65,27 @@ class CompressedGenotypes:
             y = np.zeros(self.num_individuals, np.float32)
         return pack_stacked(arch, self.bed, self.groups, y)
 
+    def to_feature_major(
+        self, arch: NetArch, y: Optional[np.ndarray] = None
+    ) -> StackedData:
+        """Feature-major dense FeatX [G, m_pad, n]: the MXU-lane-friendly
+        layout for the compiled sweep (models/density.FeatX) — halves
+        physical X HBM vs to_stacked for m_pad < 128 and cuts the branch
+        matmuls' lane padding."""
+        import jax.numpy as jnp
+
+        from ..models.density import FeatX
+
+        n = self.num_individuals
+        X = np.zeros((arch.num_branches, arch.m_pad, n), np.float32)
+        for g in range(self.num_groups):
+            X[g, : arch.m[g], :] = self.x_group(g).T
+        if y is None:
+            y = np.zeros(n, np.float32)
+        return StackedData(
+            FeatX(jnp.asarray(X)), jnp.asarray(np.asarray(y, np.float32))
+        )
+
 
 class Data:
     """Genotypes + phenotypes pair (data/data.rs:7-48)."""
