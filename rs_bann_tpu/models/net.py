@@ -34,6 +34,7 @@ import numpy as np
 
 from ..samplers import gibbs
 from ..samplers.hmc import (
+    HMCResult,
     make_gradient_descent,
     make_gradient_descent_joint,
     make_hmc_step,
@@ -569,8 +570,23 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             model_type, act, cfg, sample_error=seq, sample_output=seq
         )
         joint = True
+    if cfg.gradient_descent or cfg.gradient_descent_joint or cfg.joint_hmc:
+        live_accept = False
     else:
-        transition = make_hmc_step(model_type, act, cfg, freeze_output=ss_on)
+        # exact parallel/hybrid schedules: parallel stale-potential
+        # trajectories + sequential live-residual accepts (HMCProposal doc).
+        # The spike-and-slab paths mutate params between the prediction
+        # snapshot and the HMC call, which breaks the y_pred0 == preds[g]
+        # identity the live accept relies on — they keep the stale accept.
+        live_accept = (
+            cfg.live_accept
+            and cfg.update_mode in ("parallel", "hybrid")
+            and not (ss_on or ssm_on)
+        )
+        transition = make_hmc_step(
+            model_type, act, cfg, freeze_output=ss_on,
+            defer_accept=live_accept,
+        )
         joint = False
 
     n_precisions = float(
@@ -927,6 +943,66 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
 
     # ---------------------------------------------------------- sequential
+    def _live_accept_select(key, residual0, preds_blk, prop, err_hmc,
+                            old_w, old_b):
+        """Sequential live-residual Metropolis accepts for a block of
+        parallel stale-potential HMC proposals (samplers.hmc.HMCProposal).
+
+        ``residual0`` is y − bias − Σ_g pred_old_g over ALL branches;
+        ``preds_blk`` the block's snapshot predictions (== each proposal's
+        y_pred at its initial params, so rss_old(live) = ‖residual‖²).
+        Branches are visited in a fresh random order; an accepted branch
+        moves the live residual the next branch tests against. Cost: two
+        length-n reductions + one vector update per branch — no matmuls.
+        Returns an HMCResult with accept-selected params/codes/alphas.
+        """
+        B_ = preds_blk.shape[0]
+        k_ord, k_u = jax.random.split(key)
+        order = jax.random.permutation(k_ord, B_)
+        us = jax.random.uniform(k_u, (B_,))
+
+        def body(r, i):
+            g = order[i]
+            rss_old = jnp.sum(r * r)
+            tgt = r + preds_blk[g]
+            d = tgt - prop.y_pred_prop[g]
+            rss_new = jnp.sum(d * d)
+            log_acc = (
+                prop.prior_prop[g] - err_hmc * rss_new / 2.0
+                - prop.kin_prop[g]
+            ) - (
+                prop.prior0[g] - err_hmc * rss_old / 2.0 - prop.kin0[g]
+            )
+            dead_g = prop.dead[g]
+            mh_ok = jnp.log(us[i]) < log_acc
+            accept = ~dead_g & mh_ok
+            code = jnp.where(
+                dead_g, 2, jnp.where(mh_ok, 0, 1)
+            ).astype(jnp.int32)
+            alpha = jnp.where(
+                dead_g | jnp.isnan(log_acc), 0.0,
+                jnp.minimum(1.0, jnp.exp(log_acc)),
+            )
+            r = jnp.where(accept, tgt - prop.y_pred_prop[g], r)
+            return r, (g, accept, code, alpha)
+
+        _, (gs, accs, codes, alphas) = jax.lax.scan(
+            body, residual0, jnp.arange(B_)
+        )
+        accept_g = jnp.zeros(B_, bool).at[gs].set(accs)
+        sel = lambda new, old: jnp.where(
+            accept_g.reshape((B_,) + (1,) * (new.ndim - 1)), new, old
+        )
+        return HMCResult(
+            weights=tuple(sel(wn, wo) for wn, wo in zip(prop.weights, old_w)),
+            biases=tuple(sel(bn, bo) for bn, bo in zip(prop.biases, old_b)),
+            code=jnp.zeros(B_, jnp.int32).at[gs].set(codes),
+            y_pred=jnp.where(accept_g[:, None], prop.y_pred_prop, preds_blk),
+            log_density=jnp.zeros(B_),
+            accept_prob=jnp.zeros(B_).at[gs].set(alphas),
+            uturn_step=prop.uturn_step,
+        )
+
     def sweep_sequential(carry: TrainCarry, X, y):
         statics, masks_w, masks_b = _device_consts()
         key, k_perm, k_pi, k_pim = jax.random.split(carry.key, 4)
@@ -953,7 +1029,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         state = carry.state
         params, precisions = state.params, state.precisions
         (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_pi,
-         k_prior, k_ssm, k_pim) = jax.random.split(carry.key, 12)
+         k_prior, k_ssm, k_pim, k_lacc) = jax.random.split(carry.key, 13)
 
         # shared scalar Gibbs draws once per sweep, from the snapshot
         err_prec = precisions.error
@@ -1150,6 +1226,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 trajs["perm"] = jnp.arange(G)
             else:
                 res, trajs = out, ()
+            if live_accept:
+                # res is an HMCProposal batch: accepts run sequentially
+                # against the live residual (exact kernel; HMCProposal doc)
+                res = _live_accept_select(
+                    k_lacc, carry.residual, preds, res, err_hmc,
+                    params.weights, params.biases,
+                )
         res_weights, res_biases, y_pred_new = res.weights, res.biases, res.y_pred
         inc = jnp.ones(G, bool)
         if ss_on:
@@ -1283,7 +1366,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             state, residual = c.state, c.residual
             params, precisions = state.params, state.precisions
             (key, k_e, k_loc, k_out, k_hmc, k_bias, k_len, k_ss, k_prior,
-             k_ssm) = jax.random.split(c.key, 10)
+             k_ssm, k_lacc) = jax.random.split(c.key, 11)
 
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
@@ -1472,6 +1555,12 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     z_m,
                 )
                 res, traj_blk = out if record_traj else (out, ())
+                if live_accept:
+                    # block proposals accept sequentially against the live
+                    # residual (exact kernel; HMCProposal doc)
+                    res = _live_accept_select(
+                        k_lacc, residual, preds, res, err_hmc, w_b, b_b
+                    )
             res_weights, res_biases, y_pred_new = (
                 res.weights, res.biases, res.y_pred
             )

@@ -58,6 +58,35 @@ class HMCResult(NamedTuple):
     uturn_step: object = None
 
 
+class HMCProposal(NamedTuple):
+    """Raw HMC proposal with everything an EXTERNAL Metropolis test needs.
+
+    The leapfrog map is reversible and volume-preserving for ANY smooth
+    potential — the target density enters only the accept ratio. So the
+    trajectory may integrate a STALE potential (e.g. a frozen-residual
+    branch conditional, letting all branches integrate in parallel on the
+    MXU) while the accept runs later against the LIVE conditional:
+
+        log α_g = [prior(θ') − λ_e·rss_live(θ')/2 − K(p')]
+                − [prior(θ)  − λ_e·rss_live(θ)/2  − K(p)]
+
+    This is exact random-scan Metropolis-within-Gibbs with stale-gradient
+    proposals — unlike accepting against the stale target, which leaves
+    the joint posterior non-invariant (measured bias: PARITY.json r2,
+    'parallel' row before live-accept).
+    """
+
+    weights: tuple  # proposal θ' (frozen pre-divergence state when dead)
+    biases: tuple
+    y_pred_prop: jax.Array  # [n] branch prediction at θ'
+    prior_prop: jax.Array  # marginal log-prior terms at θ'
+    prior0: jax.Array  # ... at θ
+    kin_prop: jax.Array  # K(p_final)
+    kin0: jax.Array  # K(p_initial)
+    dead: jax.Array  # bool: diverged (always reject)
+    uturn_step: jax.Array
+
+
 def _tree_mul_add(xs, eps, ps, frac=1.0):
     return tuple(x + frac * e * p for x, e, p in zip(xs, eps, ps))
 
@@ -175,7 +204,10 @@ def unflatten_wb(vec, like_w, like_b):
     return tuple(ws), tuple(bs)
 
 
-def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=False):
+def make_hmc_step(
+    model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=False,
+    defer_accept=False,
+):
     """Build the jittable marginal HMC transition for one branch.
 
     Returned signature:
@@ -202,10 +234,11 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
         y_pred = acts[-1][:, 0]
         r = y_pred - y
         rss = jnp.sum(r * r)
-        ld = D.log_density(
-            model_type, weights, biases, w_precisions, error_precision, rss
-        )
-        return ld, y_pred
+        prior = D.log_density_wrt_weights(
+            model_type, weights, w_precisions
+        ) + D.log_density_wrt_biases(model_type, biases)
+        ld = prior - error_precision * rss / 2.0
+        return ld, (y_pred, prior)
 
     vg_exact = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
 
@@ -228,9 +261,9 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
             return unflatten_wb(g_flat, weights, biases)
 
         def vg(weights, biases, w_precisions, error_precision, x, y):
-            ld, yp = potential(weights, biases, w_precisions, error_precision, x, y)
+            ld, aux = potential(weights, biases, w_precisions, error_precision, x, y)
             g = num_ldg(weights, biases, w_precisions, error_precision, x, y, ld)
-            return (ld, yp), g
+            return (ld, aux), g
 
         return vg
 
@@ -289,23 +322,26 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
             for k, b, m in zip(mkeys[len(weights) :], biases, masks_b)
         )
 
-        (ld0, y_pred0), (g_w, g_b) = vg(
+        (ld0, (y_pred0, prior0)), (g_w, g_b) = vg(
             weights, biases, w_precisions, error_precision, x, y
         )
-        neg_h0 = ld0 - _kinetic(p_w, p_b)
+        kin0 = _kinetic(p_w, p_b)
+        neg_h0 = ld0 - kin0
 
         init = (
-            weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0,
+            weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0, prior0,
             jnp.asarray(False), jnp.asarray(False),
         )
 
         def body(carry, t):
-            w, b, pw, pb, gw, gb, ld, yp, dead, done = carry
+            w, b, pw, pb, gw, gb, ld, yp, pri, dead, done = carry
             pw1 = _tree_mul_add(pw, eps_w, gw, 0.5)
             pb1 = _tree_mul_add(pb, eps_b, gb, 0.5)
             w1 = _tree_mul_add(w, eps_w, pw1)
             b1 = _tree_mul_add(b, eps_b, pb1)
-            (ld1, yp1), (gw1, gb1) = vg(w1, b1, w_precisions, error_precision, x, y)
+            (ld1, (yp1, pri1)), (gw1, gb1) = vg(
+                w1, b1, w_precisions, error_precision, x, y
+            )
             pw1 = _tree_mul_add(pw1, eps_w, gw1, 0.5)
             pb1 = _tree_mul_add(pb1, eps_b, gb1, 0.5)
             neg_h = ld1 - _kinetic(pw1, pb1)
@@ -332,6 +368,7 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
                 keep(gb, gb1),
                 jnp.where(frozen, ld, ld1),
                 jnp.where(frozen, yp, yp1),
+                jnp.where(frozen, pri, pri1),
                 dead1,
                 done1,
             )
@@ -351,13 +388,33 @@ def make_hmc_step(model_type: str, act_name: str, cfg: MCMCCfg, freeze_output=Fa
                 ys = {"hamiltonian": neg_h, "uturn": uturn_here}
             return new, ys
 
-        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, dead, _), traj = jax.lax.scan(
-            body, init, jnp.arange(L)
+        (w_f, b_f, pw_f, pb_f, _, _, ld_f, yp_f, pri_f, dead, _), traj = (
+            jax.lax.scan(body, init, jnp.arange(L))
         )
         uturn_flags = traj.pop("uturn")  # [L] bool
         uturn_step = jnp.where(
             jnp.any(uturn_flags), jnp.argmax(uturn_flags) + 1, 0
         ).astype(jnp.int32)
+
+        if defer_accept:
+            prop = HMCProposal(
+                weights=w_f,
+                biases=b_f,
+                y_pred_prop=yp_f,
+                prior_prop=pri_f,
+                prior0=prior0,
+                kin_prop=_kinetic(pw_f, pb_f),
+                kin0=kin0,
+                dead=dead,
+                uturn_step=uturn_step,
+            )
+            if record:
+                traj = dict(traj)
+                traj["hamiltonian"] = jnp.concatenate(
+                    [neg_h0[None], traj["hamiltonian"]]
+                )
+                return prop, traj
+            return prop
 
         neg_h_f = ld_f - _kinetic(pw_f, pb_f)
         log_acc = neg_h_f - neg_h0

@@ -42,6 +42,18 @@ class MCMCCfg:
     # parallel within a block: interpolates statistical quality vs throughput
     # and matches the sharding granularity)
     block_size: int = 0  # hybrid mode: branches per parallel block
+    live_accept: bool = True  # TPU extension (parallel/hybrid marginal HMC):
+    # integrate all branch trajectories in parallel against the FROZEN
+    # residual (the expensive leapfrogs stay batched on the MXU), but run
+    # the Metropolis accepts SEQUENTIALLY against the LIVE residual — the
+    # leapfrog map is reversible/volume-preserving for any potential, so
+    # the stale target only shapes the proposal while the accept targets
+    # the true conditional. This makes the parallel/hybrid schedules an
+    # EXACT random-scan Metropolis-within-Gibbs kernel (stale-gradient
+    # proposals), removing the measured invariant-distribution bias of
+    # accept-against-stale (PARITY.json 'parallel' row, r2). False restores
+    # the old approximate behavior. Ignored for sequential/joint/GD and the
+    # spike-and-slab paths (those mutate params between snapshot and HMC).
     gd_warmup: int = 0  # run N gradient-descent sweeps before sampling
     mass_adaptation: bool = False  # TPU extension: estimate per-coordinate
     # posterior variances during warmup (Welford over kept branch states,

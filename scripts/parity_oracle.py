@@ -53,14 +53,17 @@ SUMMARY_KEYS = (
 
 def _branch_r2_mean(branch_preds, y_te):
     """Mean over branches of corr^2(posterior-mean branch pred, y_test);
-    zero-variance branch predictions count as r2 = 0."""
+    zero-variance or non-finite branch predictions count as r2 = 0 (a
+    tanh-saturated branch can collapse to a constant, making corrcoef
+    emit NaN)."""
     out = []
     for g in range(branch_preds.shape[0]):
         p = branch_preds[g]
-        if p.std() < 1e-12:
+        if not np.all(np.isfinite(p)) or p.std() < 1e-9:
             out.append(0.0)
-        else:
-            out.append(float(np.corrcoef(p, y_te)[0, 1] ** 2))
+            continue
+        r = float(np.corrcoef(p, y_te)[0, 1] ** 2)
+        out.append(r if np.isfinite(r) else 0.0)
     return float(np.mean(out))
 
 

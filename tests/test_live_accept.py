@@ -1,0 +1,150 @@
+"""Live-accept parallel schedule (cfg.live_accept, samplers.hmc.HMCProposal).
+
+The parallel/hybrid schedules integrate all branch trajectories against a
+frozen residual but accept each branch SEQUENTIALLY against the live
+residual — an exact random-scan Metropolis-within-Gibbs kernel with
+stale-gradient proposals. These tests pin:
+
+  1. proposal equivalence: defer_accept returns exactly the proposal the
+     standard path would have tested, and for a single branch (stale
+     target == live target) the external log-acceptance equals the
+     internal one.
+  2. the parallel sweep runs in both modes and live-accept removes the
+     accept-vs-stale bias (statistical test vs sequential, slow tier).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_bann_tpu.models import density as D
+from rs_bann_tpu.models.arch import NetArch
+from rs_bann_tpu.models.data import stack_standardized
+from rs_bann_tpu.models.init import InitCfg, init_net
+from rs_bann_tpu.models.net import Net
+from rs_bann_tpu.samplers.hmc import make_hmc_step
+from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+
+
+def _branch_problem(seed=0, n=64, m=6, h=3):
+    rng = np.random.default_rng(seed)
+    arch = NetArch(m=(m,), h=(h,), s=(h,), depth=1)
+    cols = [rng.standard_normal((n, m), dtype=np.float32)]
+    y = rng.standard_normal(n).astype(np.float32)
+    ds = stack_standardized(arch, cols, y)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=1))
+    return arch, state, ds
+
+
+def test_deferred_proposal_matches_internal_accept():
+    """Same key: the deferred proposal is the standard path's proposal, and
+    the externally computed log-acceptance (live residual == stale target
+    for one branch) reproduces the internal accept probability."""
+    arch, state, ds = _branch_problem()
+    cfg = MCMCCfg(hmc_integration_length=12, hmc_step_size_factor=0.3,
+                  hmc_step_size_mode="uniform")
+    hmc_std = jax.jit(make_hmc_step("ridge_base", "tanh", cfg))
+    hmc_def = jax.jit(
+        make_hmc_step("ridge_base", "tanh", cfg, defer_accept=True)
+    )
+    w = tuple(w[0] for w in state.params.weights)
+    b = tuple(b[0] for b in state.params.biases)
+    wp = tuple(a[0] for a in state.precisions.weights)
+    bp = tuple(a[0] for a in state.precisions.biases)
+    from rs_bann_tpu.models.params import weight_masks, bias_masks
+
+    mw = tuple(jnp.asarray(m_[0]) for m_ in weight_masks(arch))
+    mb = tuple(jnp.asarray(m_[0]) for m_ in bias_masks(arch))
+    npar = jnp.asarray(float(arch.num_params_branch(0)))
+    key = jax.random.key(5)
+    args = (w, b, wp, bp, 1.3, ds.X[0], ds.y, mw, mb, npar)
+    res = hmc_std(key, *args)
+    prop = hmc_def(key, *args)
+    # identical trajectory endpoint (same RNG consumption)
+    pred0 = D.predict("tanh", w, b, ds.X[0])
+    r_new = ds.y - np.asarray(prop.y_pred_prop)
+    r_old = ds.y - np.asarray(pred0)
+    log_acc_ext = (
+        float(prop.prior_prop)
+        - 1.3 * float(r_new @ r_new) / 2
+        - float(prop.kin_prop)
+    ) - (
+        float(prop.prior0)
+        - 1.3 * float(r_old @ r_old) / 2
+        - float(prop.kin0)
+    )
+    alpha_ext = 0.0 if bool(prop.dead) else min(1.0, float(np.exp(log_acc_ext)))
+    assert float(res.accept_prob) == pytest.approx(alpha_ext, rel=1e-4, abs=1e-6)
+    # the accepted-state prediction is either the proposal or the start
+    assert (
+        np.allclose(np.asarray(res.y_pred), np.asarray(prop.y_pred_prop),
+                    atol=1e-5)
+        or np.allclose(np.asarray(res.y_pred), np.asarray(pred0), atol=1e-5)
+    )
+
+
+def _sim_multibranch(seed, G=4, m=6, n=500, h2=0.8):
+    rng = np.random.default_rng(seed)
+    arch = NetArch.uniform(G, m, 3, 0, 3)
+    cols = [rng.standard_normal((n, m)).astype(np.float32) for _ in range(G)]
+    beta = (rng.standard_normal(G * m) * 0.4).astype(np.float32)
+    g_val = sum(
+        (c - c.mean(0)) / np.where(c.std(0) > 0, c.std(0), 1) @
+        beta[i * m:(i + 1) * m]
+        for i, c in enumerate(cols)
+    )
+    noise = rng.standard_normal(n).astype(np.float32) * np.sqrt(
+        g_val.var() * (1 / h2 - 1)
+    )
+    y = g_val + noise
+    y = ((y - y.mean()) / y.std()).astype(np.float32)
+    ds = stack_standardized(arch, cols, y)
+    state, _ = init_net(
+        arch, "ridge_base",
+        InitCfg(seed=seed + 1, init_gamma_shape=3.0, init_gamma_scale=1.0),
+    )
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    return net, ds
+
+
+def _run_mode(net, ds, mode, live, seed, cl=120):
+    cfg = MCMCCfg(chain_length=1, burn_in=10**9, hmc_integration_length=20,
+                  update_mode=mode, live_accept=live, seed=seed)
+    sweep = jax.jit(net.make_sweep(cfg))
+    carry = net.init_carry(ds.X, ds.y, jax.random.key(seed))
+    lam_es, mses = [], []
+    for i in range(cl):
+        carry, stats = sweep(carry, ds.X, ds.y)
+        if i >= cl // 2:
+            lam_es.append(float(carry.state.precisions.error))
+            mses.append(float(np.asarray(stats.mse_train)))
+    return float(np.mean(lam_es)), float(np.mean(mses))
+
+
+def test_parallel_live_accept_runs_and_differs_from_stale():
+    net, ds = _sim_multibranch(0)
+    lam_live, mse_live = _run_mode(net, ds, "parallel", True, seed=3, cl=30)
+    lam_stale, mse_stale = _run_mode(net, ds, "parallel", False, seed=3, cl=30)
+    assert np.isfinite([lam_live, mse_live, lam_stale, mse_stale]).all()
+
+
+@pytest.mark.slow
+def test_parallel_live_accept_matches_sequential_posterior():
+    """The bias this kernel removes: accept-against-stale underestimates
+    lambda_e (PARITY r2 measured -24%); live-accept must land within
+    replicate noise of sequential."""
+    lam_seq, lam_par, lam_stale = [], [], []
+    for rep in range(4):
+        net, ds = _sim_multibranch(100 + rep)
+        s, _ = _run_mode(net, ds, "sequential", True, seed=rep)
+        p, _ = _run_mode(net, ds, "parallel", True, seed=rep)
+        st, _ = _run_mode(net, ds, "parallel", False, seed=rep)
+        lam_seq.append(s)
+        lam_par.append(p)
+        lam_stale.append(st)
+    m_seq, m_par = np.mean(lam_seq), np.mean(lam_par)
+    se = np.sqrt(np.var(lam_seq, ddof=1) / 4 + np.var(lam_par, ddof=1) / 4)
+    assert abs(m_par - m_seq) <= 3.0 * se + 0.05 * m_seq, (
+        lam_seq, lam_par, lam_stale
+    )
