@@ -130,6 +130,25 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
     p.add_argument("--ssm-fixed-pi", action="store_true")
     p.add_argument("--ssm-warmup", type=int, default=0,
                    help="force all markers included for the first N sweeps")
+    p.add_argument("--ss-rows", action="store_true",
+                   help="per-marker selection for NONLINEAR branches (any "
+                   "depth/activation, ridge_ard): two-component mixture on "
+                   "layer-0 row priors — slab = Gamma-ARD, spike = narrow "
+                   "Gaussian N(0, 1/--ssr-spike); exact indicator Gibbs via "
+                   "the closed-form multivariate-t row marginal; PIPs land "
+                   "in <run>/inclusion_probs as pip_markers")
+    p.add_argument("--ssr-pi", type=float, default=0.5,
+                   help="prior row-inclusion probability (Beta(1,1) "
+                   "Gibbs-updated unless --ssr-fixed-pi)")
+    p.add_argument("--ssr-fixed-pi", action="store_true")
+    p.add_argument("--ssr-spike", type=float, default=1e4,
+                   help="spike (excluded-row) precision")
+    p.add_argument("--ssr-warmup", type=int, default=0,
+                   help="force all rows on the slab for the first N sweeps")
+    p.add_argument("--ssr-shape", type=float, default=1.0,
+                   help="slab Gamma shape for layer-0 rows under --ss-rows")
+    p.add_argument("--ssr-scale", type=float, default=1.0,
+                   help="slab Gamma scale for layer-0 rows under --ss-rows")
     p.add_argument("--tempering", action="store_true",
                    help="parallel tempering over the chain axis (slot 0 cold; "
                    "needs --num-chains >= 2; saved samples = cold chain only)")
@@ -231,6 +250,13 @@ def _mcmc_cfg_from_args(args, outpath: str):
         ssm_pi=args.ssm_pi,
         ssm_fixed_pi=args.ssm_fixed_pi,
         ssm_warmup=args.ssm_warmup,
+        ss_rows=args.ss_rows,
+        ssr_pi=args.ssr_pi,
+        ssr_fixed_pi=args.ssr_fixed_pi,
+        ssr_spike=args.ssr_spike,
+        ssr_warmup=args.ssr_warmup,
+        ssr_shape=args.ssr_shape,
+        ssr_scale=args.ssr_scale,
     )
 
 
@@ -248,6 +274,8 @@ def _mode_suffixes(args) -> str:
         name += "_ss"
     if args.ss_markers:
         name += "_ssm"
+    if getattr(args, "ss_rows", False):
+        name += "_ssr"
     if args.tempering:
         name += f"_pt{args.max_temperature}"
     if args.gradient_descent:

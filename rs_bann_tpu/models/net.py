@@ -374,8 +374,137 @@ class SweepStats(NamedTuple):
 # --------------------------------------------------------------------------
 
 
+def _row_mixture_z(key, w0, c, shape, scale, pi, lam_spike, row_mask, force):
+    """ζ_j | w_j for the two-component ARD row prior (cfg.ss_rows).
+
+    Per-marker selection for NONLINEAR branches (any depth/activation):
+    layer-0 row j has prior  ζ_j·N(0, λ_j⁻¹I) + (1−ζ_j)·N(0, λ_spike⁻¹I)
+    with λ_j ~ Gamma(shape, scale) under the slab. Unlike the depth-0
+    collapsed move (cfg.ss_markers), no conjugate (ζ, row) joint move
+    exists through a nonlinearity — but the INDICATOR given the row is
+    exact: integrating λ_j out of the slab gives the closed-form
+    multivariate-t row marginal
+
+      p_slab(w) = Γ(k+c/2)/Γ(k) · (2π)^{-c/2} θ^{-k} (‖w‖²/2 + 1/θ)^{-(k+c/2)}
+
+    against the Gaussian spike density, so ζ_j ~ Bern(σ(logit π + log BF))
+    is a valid Gibbs draw. HMC then feels λ_spike on spiked rows (strong
+    but finite shrinkage — the spike is a narrow Gaussian, not δ₀, so rows
+    with real signal climb back out through the likelihood gradient and
+    re-enter when ‖w‖ grows). Selection is soft; PIP = E[ζ].
+
+    ``c`` is the true layer-0 fan-out (padded columns hold exact zeros, so
+    the unmasked ssq is exact but the EXPONENT must count true columns).
+    """
+    from jax.scipy.special import gammaln
+
+    ssq = jnp.sum(w0 * w0, axis=1)  # [in_pad]
+    log_slab = (
+        gammaln(shape + c / 2.0)
+        - gammaln(shape)
+        - (c / 2.0) * jnp.log(2.0 * jnp.pi)
+        - shape * jnp.log(scale)
+        - (shape + c / 2.0) * jnp.log(ssq / 2.0 + 1.0 / scale)
+    )
+    log_spike = (c / 2.0) * (
+        jnp.log(lam_spike) - jnp.log(2.0 * jnp.pi)
+    ) - lam_spike * ssq / 2.0
+    logit = jnp.log(pi) - jnp.log1p(-pi) + log_slab - log_spike
+    z = jax.random.bernoulli(key, jax.nn.sigmoid(logit)).astype(jnp.float32)
+    return jnp.where(force, 1.0, z) * row_mask
+
+
+def _ssr_flip_scan(
+    key, x_g, weights, biases, act, lam_rows, z_rows, target, err_hmc,
+    pi, lam_spike, s_shape, s_scale, row_mask,
+):
+    """Whitened scaled-flip MH over one branch's layer-0 rows (cfg.ss_rows).
+
+    The ζ_j | w_j Gibbs draw alone cannot mix: a null row equilibrates at
+    slab scale (‖w‖ ~ 1/√λ_slab), where the narrow spike density is
+    astronomically smaller — and a spiked row never random-walks back out.
+    This move jumps BETWEEN scales: in the whitened parameterization
+    u_j = w_j·√λ_j (prior N(0, I) regardless of component), propose
+
+        ζ'_j = 1 − ζ_j,   λ'_j ~ p(λ | ζ'_j)  (slab Gamma prior / δ_spike),
+        u unchanged  ⇒  w'_j = w_j·√(λ_j / λ'_j)
+
+    The λ-prior and u-prior terms cancel against the proposal, leaving
+    log α = logit(π)·(ζ'−ζ) + (err/2)·(rss − rss') — one branch-tail
+    forward per row. Rows are visited sequentially (flips interact through
+    the likelihood) with the layer-0 pre-activation Z = x @ W0 maintained
+    by rank-1 updates, so each step costs only the downstream layers.
+
+    Returns (z_new [m_pad], lam_new [m_pad], W0_new, pred_final [n]).
+    """
+    from ..ops.activations import activation as _act_of
+
+    h = _act_of(act)
+    m_pad = weights[0].shape[0]
+    L = len(weights)
+    k_perm, k_lam, k_u = jax.random.split(key, 3)
+    order = jax.random.permutation(k_perm, m_pad)
+    lam_slab_prop = jnp.clip(
+        jax.random.gamma(k_lam, s_shape, (m_pad,)) * s_scale, 1e-6, 1e8
+    )
+    us = jax.random.uniform(k_u, (m_pad,))
+    feat = isinstance(x_g, D.FeatX)
+
+    def col(j):
+        return x_g.xT[j] if feat else x_g[:, j]
+
+    def x_w0(W0):
+        if feat:
+            return D.matmul_fm(W0, x_g.xT).T  # [n, out0]
+        return D.matmul(x_g, W0)
+
+    def tail(Z):
+        a = h(Z + biases[0][None, :])
+        for l in range(1, L - 1):
+            a = h(D.matmul(a, weights[l]) + biases[l][None, :])
+        return D.matmul(a, weights[-1])[:, 0]
+
+    Z0 = x_w0(weights[0])
+    pred0 = tail(Z0)
+    r0 = target - pred0
+    logit_pi = jnp.log(pi) - jnp.log1p(-pi)
+
+    def body(carry, i):
+        Z, W0_c, lam_c, z_c, rss = carry
+        j = order[i]
+        z_j = z_c[j]
+        lam_j = lam_c[j]
+        lam_new = jnp.where(z_j > 0, lam_spike, lam_slab_prop[j])
+        scale_f = jnp.sqrt(lam_j / lam_new)
+        w_row = W0_c[j]
+        dw = w_row * (scale_f - 1.0)
+        Z_p = Z + col(j)[:, None] * dw[None, :]
+        pred_p = tail(Z_p)
+        r_p = target - pred_p
+        rss_p = jnp.sum(r_p * r_p)
+        z_new = 1.0 - z_j
+        log_acc = logit_pi * (z_new - z_j) + err_hmc * (rss - rss_p) / 2.0
+        ok = (jnp.log(us[i]) < log_acc) & (row_mask[j] > 0)
+        Z = jnp.where(ok, Z_p, Z)
+        return (
+            Z,
+            W0_c.at[j].set(jnp.where(ok, w_row * scale_f, w_row)),
+            lam_c.at[j].set(jnp.where(ok, lam_new, lam_j)),
+            z_c.at[j].set(jnp.where(ok, z_new, z_j)),
+            jnp.where(ok, rss_p, rss),
+        ), None
+
+    (Z_f, W0_f, lam_f, z_f, _), _ = jax.lax.scan(
+        body,
+        (Z0, weights[0], lam_rows, z_rows, jnp.sum(r0 * r0)),
+        jnp.arange(m_pad),
+    )
+    return z_f, lam_f, W0_f, tail(Z_f)
+
+
 def _gibbs_local_precisions(
-    key, model_type, w_g, b_g, statics_g, hyper, num_layers, z_rows0=None
+    key, model_type, w_g, b_g, statics_g, hyper, num_layers, z_rows0=None,
+    ssr=None,
 ):
     """Per-branch Gibbs update of local weight+bias precisions.
 
@@ -387,9 +516,15 @@ def _gibbs_local_precisions(
     precision's conditional is the PRIOR Gamma(shape, scale) (treating the
     zero row as data would drive λ_j → large and bar re-entry through the
     collapsed move's Bayes factor).
+
+    ``ssr`` (cfg.ss_rows, ridge_ard only): (pi, lam_spike, force) — draw
+    the layer-0 row indicators ζ via ``_row_mixture_z`` and set spiked
+    rows' precisions to λ_spike instead of the slab posterior. Returns
+    (wp, bp, ζ) then; (wp, bp, None) otherwise.
     """
     L = num_layers
     keys = jax.random.split(key, 2 * (L - 1))
+    z_rows = None
     new_wp, new_bp = [], []
     for l in range(L - 1):
         shape, scale = hyper.layer(l, L)
@@ -402,6 +537,21 @@ def _gibbs_local_precisions(
             else:
                 ssq_rows = jnp.sum(w * w, axis=1, keepdims=True)
                 lam = gibbs.ridge_precision_posterior(keys[l], shape, scale, ssq_rows, ncols)
+            if l == 0 and ssr is not None:
+                pi_r, lam_spike, force, s_shape, s_scale = ssr
+                # the slab hyperprior is ssr's own (cfg.ssr_shape/scale) —
+                # consistently for the indicator AND the λ Gibbs redraw
+                k_z = jax.random.fold_in(keys[l], 0x77)
+                z_rows = _row_mixture_z(
+                    k_z, w, ncols, s_shape, s_scale, pi_r, lam_spike,
+                    statics_g.row_masks[0][:, 0], force,
+                )
+                ssq_rows = jnp.sum(w * w, axis=1, keepdims=True)
+                lam_slab = gibbs.ridge_precision_posterior(
+                    jax.random.fold_in(keys[l], 0x78), s_shape, s_scale,
+                    ssq_rows, ncols,
+                )
+                lam = jnp.where(z_rows[:, None] > 0, lam_slab, lam_spike)
             if l == 0 and z_rows0 is not None:
                 k_prior = jax.random.fold_in(keys[l], 0x55)
                 # clip: the CLI-default Gamma(0.001, 1000) hyperprior is
@@ -430,6 +580,8 @@ def _gibbs_local_precisions(
             keys[L - 1 + l], shape, scale, jnp.sum(b_g[l] ** 2), statics_g.b_counts[l]
         ).reshape(1)
         new_bp.append(bp)
+    if ssr is not None:
+        return tuple(new_wp), tuple(new_bp), z_rows
     return tuple(new_wp), tuple(new_bp)
 
 
@@ -552,6 +704,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
         # lasso_ard is supported via the Park-Casella scale-mixture
         # augmentation inside _marker_ss_scan (lasso=True below)
+    ssr_on = cfg.ss_rows and not (
+        cfg.joint_hmc or cfg.gradient_descent or cfg.gradient_descent_joint
+    )
+    if ssr_on:
+        assert model_type == "ridge_ard", (
+            "ss_rows needs the Gaussian per-row ARD slab (ridge_ard); its "
+            "indicator draw integrates a Gamma-Normal row marginal"
+        )
+        assert not cfg.fixed_param_precisions, (
+            "ss_rows draws row precisions; incompatible with fixed "
+            "param precisions"
+        )
+        assert not (ssm_on or ss_on), (
+            "ss_rows is an alternative selection level; do not stack with "
+            "ss_markers or spike_slab"
+        )
     out_w_counts = statics_h.w_counts[L - 1]  # [G] true output weights per branch
 
     if cfg.gradient_descent:
@@ -581,7 +749,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         live_accept = (
             cfg.live_accept
             and cfg.update_mode in ("parallel", "hybrid")
-            and not (ss_on or ssm_on)
+            and not (ss_on or ssm_on or ssr_on)
         )
         transition = make_hmc_step(
             model_type, act, cfg, freeze_output=ss_on,
@@ -641,11 +809,20 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         # tempered likelihood L^β enters HMC and the bias draw as β·λ_e;
         # the stored λ_e and the LPD bookkeeping stay untempered
         err_hmc = err_prec * carry.beta if temper else err_prec
+        z_r = None
         if sample_local:
-            new_wp_g, new_bp_g = _gibbs_local_precisions(
-                k_loc, model_type, w_g, b_g, st_g, hyper, L,
-                z_rows0=carry.ssm_z[g] if ssm_on else None,
-            )
+            if ssr_on:
+                new_wp_g, new_bp_g, z_r = _gibbs_local_precisions(
+                    k_loc, model_type, w_g, b_g, st_g, hyper, L,
+                    ssr=(carry.ssm_pi, cfg.ssr_spike,
+                         carry.da_t < float(cfg.ssr_warmup),
+                         cfg.ssr_shape, cfg.ssr_scale),
+                )
+            else:
+                new_wp_g, new_bp_g = _gibbs_local_precisions(
+                    k_loc, model_type, w_g, b_g, st_g, hyper, L,
+                    z_rows0=carry.ssm_z[g] if ssm_on else None,
+                )
             wp = tuple(
                 wp[l].at[g].set(new_wp_g[l]) if l < L - 1 else wp[l]
                 for l in range(L)
@@ -678,6 +855,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         target = residual + pred_old
 
         ssm_z = carry.ssm_z
+        if z_r is not None:  # ss_rows indicators share the ssm carry slots
+            ssm_z = ssm_z.at[g].set(z_r)
         if ssm_on:
             # per-marker collapsed (z_j, W0[j]) scan against a live residual,
             # conditioning on the current output layer; HMC below then moves
@@ -693,6 +872,19 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             ssm_z = ssm_z.at[g].set(z_m)
             if ss_on:  # branch-level move needs A at the UPDATED layer 0
                 _, acts0 = D.forward(act, w_g, b_g, x_g)
+
+        if ssr_on:
+            # whitened scaled-flip MH across scales (k_ssm is unused when
+            # ss_rows is on — the modes are mutually exclusive)
+            z_new, lam_new, W0_new, _ = _ssr_flip_scan(
+                k_ssm, x_g, w_g, b_g, act, wp_g[0][:, 0], ssm_z[g], target,
+                err_hmc, carry.ssm_pi, cfg.ssr_spike, cfg.ssr_shape,
+                cfg.ssr_scale, st_g.row_masks[0][:, 0],
+            )
+            w_g = (W0_new,) + w_g[1:]
+            wp = (wp[0].at[g].set(lam_new[:, None]),) + wp[1:]
+            wp_g = (lam_new[:, None],) + wp_g[1:]
+            ssm_z = ssm_z.at[g].set(z_new)
 
         ss_z = carry.ss_z
         if ss_on:
@@ -916,7 +1108,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         """Marker-level π_m Beta(1,1) Gibbs draw + per-marker PIP running
         mean; call after da_t was incremented."""
         pi = carry.ssm_pi
-        if not cfg.ssm_fixed_pi:
+        fixed = cfg.ssm_fixed_pi if ssm_on else cfg.ssr_fixed_pi
+        if not fixed:
             nz = jnp.sum(carry.ssm_z * marker_rows)
             # lower clip well below 1/M: genome-scale truths can be <1%
             pi = jnp.clip(
@@ -1016,7 +1209,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         carry = carry._replace(da_t=carry.da_t + 1.0)
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
-        if ssm_on:
+        if ssm_on or ssr_on:
             carry = ssm_sweep_end(carry, k_pim)
         if record_traj:
             trajs = dict(trajs)
@@ -1049,21 +1242,40 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
                 for l in range(L)
             )
+        z_r_all = None
         if sample_local:
             loc_keys = jax.random.split(k_loc, G)
 
-            def draw_local(k, w_g, b_g, st_g, z0):
-                return _gibbs_local_precisions(
-                    k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
-                )
+            if ssr_on:
+                ssr_force = carry.da_t < float(cfg.ssr_warmup)
 
-            new_wp, new_bp = jax.vmap(draw_local)(
-                loc_keys,
-                tuple(params.weights[l] for l in range(L)),
-                tuple(params.biases[l] for l in range(L - 1)),
-                statics,
-                carry.ssm_z if ssm_on else None,
-            )
+                def draw_local_ssr(k, w_g, b_g, st_g):
+                    return _gibbs_local_precisions(
+                        k, model_type, w_g, b_g, st_g, hyper, L,
+                        ssr=(carry.ssm_pi, cfg.ssr_spike, ssr_force,
+                             cfg.ssr_shape, cfg.ssr_scale),
+                    )
+
+                new_wp, new_bp, z_r_all = jax.vmap(draw_local_ssr)(
+                    loc_keys,
+                    tuple(params.weights[l] for l in range(L)),
+                    tuple(params.biases[l] for l in range(L - 1)),
+                    statics,
+                )
+            else:
+
+                def draw_local(k, w_g, b_g, st_g, z0):
+                    return _gibbs_local_precisions(
+                        k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
+                    )
+
+                new_wp, new_bp = jax.vmap(draw_local)(
+                    loc_keys,
+                    tuple(params.weights[l] for l in range(L)),
+                    tuple(params.biases[l] for l in range(L - 1)),
+                    statics,
+                    carry.ssm_z if ssm_on else None,
+                )
             wp = tuple(new_wp[l] if l < L - 1 else wp[l] for l in range(L))
             bp = tuple(new_bp)
             n_out_gibbs = (
@@ -1095,6 +1307,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
 
         ssm_z = carry.ssm_z
+        if z_r_all is not None:  # ss_rows indicators share the ssm slots
+            ssm_z = z_r_all
         z_m = None
         if ssm_on:
             # per-marker collapsed scans, vmapped over branches, each a
@@ -1125,6 +1339,27 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 A_all = jax.vmap(
                     lambda w, b, x: D.summary_acts(act, w, b, x)
                 )(params.weights, params.biases, X)
+
+        if ssr_on:
+            # whitened scaled-flip MH, vmapped over branches (k_ssm is
+            # unused when ss_rows is on — the modes are mutually exclusive)
+            flip_keys = jax.random.split(k_ssm, G)
+            z_new, lam_new, W0_new, _ = jax.vmap(
+                lambda k, x, w_gg, b_gg, lam0, z0, t, rm: _ssr_flip_scan(
+                    k, x, w_gg, b_gg, act, lam0, z0, t, err_hmc,
+                    carry.ssm_pi, cfg.ssr_spike, cfg.ssr_shape,
+                    cfg.ssr_scale, rm,
+                )
+            )(
+                flip_keys, X, params.weights, params.biases,
+                wp[0][:, :, 0], ssm_z, targets,
+                statics.row_masks[0][:, :, 0],
+            )
+            params = StackedParams(
+                (W0_new,) + params.weights[1:], params.biases
+            )
+            wp = (lam_new[:, :, None],) + wp[1:]
+            ssm_z = z_new
 
         if ss_on:
             ss_keys = jax.random.split(k_ss, G)
@@ -1343,7 +1578,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         )
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
-        if ssm_on:
+        if ssm_on or ssr_on:
             carry = ssm_sweep_end(carry, k_pim)
         return carry, finish(carry, trajs)
 
@@ -1387,18 +1622,34 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             w_b = tuple(w[ixs] for w in params.weights)
             b_b = tuple(b[ixs] for b in params.biases)
             st_b = gather(statics)
+            z_r_blk = None
             if sample_local:
                 loc_keys = jax.random.split(k_loc, B)
 
-                def draw_local(k, w_g, b_g, st_g, z0):
-                    return _gibbs_local_precisions(
-                        k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
-                    )
+                if ssr_on:
+                    ssr_force = c.da_t < float(cfg.ssr_warmup)
 
-                new_wp, new_bp = jax.vmap(draw_local)(
-                    loc_keys, w_b, b_b, st_b,
-                    c.ssm_z[ixs] if ssm_on else None,
-                )
+                    def draw_local_ssr(k, w_g, b_g, st_g):
+                        return _gibbs_local_precisions(
+                            k, model_type, w_g, b_g, st_g, hyper, L,
+                            ssr=(c.ssm_pi, cfg.ssr_spike, ssr_force,
+                                 cfg.ssr_shape, cfg.ssr_scale),
+                        )
+
+                    new_wp, new_bp, z_r_blk = jax.vmap(draw_local_ssr)(
+                        loc_keys, w_b, b_b, st_b
+                    )
+                else:
+
+                    def draw_local(k, w_g, b_g, st_g, z0):
+                        return _gibbs_local_precisions(
+                            k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
+                        )
+
+                    new_wp, new_bp = jax.vmap(draw_local)(
+                        loc_keys, w_b, b_b, st_b,
+                        c.ssm_z[ixs] if ssm_on else None,
+                    )
                 wp = tuple(
                     wp[l].at[ixs].set(new_wp[l]) if l < L - 1 else wp[l]
                     for l in range(L)
@@ -1434,6 +1685,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             targets = residual[None, :] + preds
 
             ssm_z = c.ssm_z
+            if z_r_blk is not None:  # ss_rows indicators share the ssm slots
+                ssm_z = ssm_z.at[ixs].set(z_r_blk)
             z_m = None
             if ssm_on:
                 # per-marker collapsed scans for the block (see the
@@ -1460,6 +1713,26 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     A_blk = jax.vmap(
                         lambda w, b, x: D.summary_acts(act, w, b, x)
                     )(w_b, b_b, x_b)
+
+            if ssr_on:
+                # whitened scaled-flip MH for the block (k_ssm unused when
+                # ss_rows is on — the modes are mutually exclusive)
+                flip_keys = jax.random.split(k_ssm, B)
+                z_new, lam_new, W0_new, _ = jax.vmap(
+                    lambda k, x, w_gg, b_gg, lam0, z0, t, rm: _ssr_flip_scan(
+                        k, x, w_gg, b_gg, act, lam0, z0, t, err_hmc,
+                        c.ssm_pi, cfg.ssr_spike, cfg.ssr_shape,
+                        cfg.ssr_scale, rm,
+                    )
+                )(
+                    flip_keys, x_b, w_b, b_b, wp_b[0][:, :, 0],
+                    ssm_z[ixs], targets,
+                    statics.row_masks[0][ixs][:, :, 0],
+                )
+                w_b = (W0_new,) + w_b[1:]
+                wp = (wp[0].at[ixs].set(lam_new[:, :, None]),) + wp[1:]
+                wp_b = (lam_new[:, :, None],) + wp_b[1:]
+                ssm_z = ssm_z.at[ixs].set(z_new)
 
             if ss_on:
                 ss_keys = jax.random.split(k_ss, B)
@@ -1697,7 +1970,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         carry = carry._replace(da_t=carry.da_t + 1.0)
         if ss_on:
             carry = ss_sweep_end(carry, k_pi)
-        if ssm_on:
+        if ssm_on or ssr_on:
             carry = ssm_sweep_end(carry, k_pim)
         if record_traj:
             # scan stacks block trajectories [R, B, ...] -> flatten to the

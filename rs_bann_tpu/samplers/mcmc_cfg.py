@@ -42,6 +42,30 @@ class MCMCCfg:
     # parallel within a block: interpolates statistical quality vs throughput
     # and matches the sharding granularity)
     block_size: int = 0  # hybrid mode: branches per parallel block
+    ss_rows: bool = False  # TPU extension: per-marker selection for
+    # NONLINEAR branches (any depth/activation; ridge_ard only). Two-
+    # component mixture on layer-0 row priors: slab = the usual
+    # Gamma-ARD row prior; spike = N(0, 1/ssr_spike) (narrow Gaussian,
+    # not delta-zero). The indicator given the row is an EXACT Gibbs draw
+    # (slab marginal = closed-form multivariate-t; net._row_mixture_z);
+    # HMC feels lam_spike on spiked rows. Where the depth-0 identity
+    # collapsed move applies, prefer --ss-markers (exact delta-spike);
+    # ss_rows is the lever the nonlinear flagship family otherwise lacks.
+    # Reuses the ssm carry/PIP/analysis plumbing (mutually exclusive with
+    # ss_markers and spike_slab).
+    ssr_pi: float = 0.5  # row prior inclusion probability (initial/fixed)
+    ssr_fixed_pi: bool = False  # fix pi instead of Beta(1,1) Gibbs
+    ssr_spike: float = 1e4  # spike precision (soft zero scale ~ 0.01)
+    ssr_warmup: int = 0  # force slab for the first N sweeps
+    # layer-0 slab hyperprior when ss_rows is on, used consistently in the
+    # indicator draw AND the row-precision Gibbs. The CLI-default dense
+    # hyperprior Gamma(0.001, 1000) is nearly improper — its t row-marginal
+    # is practically scale-free, so the slab/spike Bayes factor cannot
+    # discriminate (measured: null-row PIP 0.83). A proper unit-scale slab
+    # restores selection. (The LPD report still uses the dense hyperprior
+    # for layer 0 — a constant-offset misreport, sampling is unaffected.)
+    ssr_shape: float = 1.0
+    ssr_scale: float = 1.0
     live_accept: bool = True  # TPU extension (parallel/hybrid marginal HMC):
     # integrate all branch trajectories in parallel against the FROZEN
     # residual (the expensive leapfrogs stay batched on the MXU), but run

@@ -418,7 +418,8 @@ def train(
             lambda s, X_, y_, k: net.init_carry(
                 X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
                 ss_pi=cfg.ss_pi, state=s,
-                ss_markers=cfg.ss_markers, ssm_pi=cfg.ssm_pi,
+                ss_markers=cfg.ss_markers or cfg.ss_rows,
+                ssm_pi=cfg.ssr_pi if cfg.ss_rows else cfg.ssm_pi,
             )
         )(net.state, X, y, key)
     else:
@@ -442,7 +443,8 @@ def train(
                 lambda k, b: net.init_carry(
                     X_, y_, k, cfg.hmc_step_size_factor, cfg.mass_adaptation,
                     b, ss_pi=cfg.ss_pi, state=s,
-                    ss_markers=cfg.ss_markers, ssm_pi=cfg.ssm_pi,
+                    ss_markers=cfg.ss_markers or cfg.ss_rows,
+                ssm_pi=cfg.ssr_pi if cfg.ss_rows else cfg.ssm_pi,
                 )
             )(ks, bs)
         )(net.state, X, y, keys, betas)
@@ -738,7 +740,7 @@ def train(
         traj_f.close()
     stats.to_file(cfg.outpath)
 
-    if cfg.spike_slab or cfg.ss_markers:
+    if cfg.spike_slab or cfg.ss_markers or cfg.ss_rows:
         # posterior inclusion probabilities (post-burn-in mean of z) from
         # the cold / first chain
         first = lambda a: a if C == 1 else a[0]
@@ -746,7 +748,7 @@ def train(
         if cfg.spike_slab:
             rec["pip"] = np.asarray(first(carry.ss_pip)).tolist()
             rec["pi"] = float(np.asarray(first(carry.ss_pi)))
-        if cfg.ss_markers:
+        if cfg.ss_markers or cfg.ss_rows:
             # [G, m_pad] -> true markers only, per branch
             pm = np.asarray(first(carry.ssm_pip))
             rec["pip_markers"] = [

@@ -113,6 +113,16 @@ def main():
     ap.add_argument("--ssm-pi", type=float, default=0.5)
     ap.add_argument("--ssm-fixed-pi", action="store_true")
     ap.add_argument("--ssm-warmup", type=int, default=0)
+    ap.add_argument("--ss-rows", action="store_true",
+                    help="per-marker selection for nonlinear branches "
+                    "(two-component ARD row-prior mixture, ridge_ard any "
+                    "depth/activation)")
+    ap.add_argument("--ssr-pi", type=float, default=0.5)
+    ap.add_argument("--ssr-fixed-pi", action="store_true")
+    ap.add_argument("--ssr-spike", type=float, default=1e4)
+    ap.add_argument("--ssr-warmup", type=int, default=0)
+    ap.add_argument("--ssr-shape", type=float, default=1.0)
+    ap.add_argument("--ssr-scale", type=float, default=1.0)
     ap.add_argument("--traj-length-mode", default="fixed",
                     choices=["fixed", "jittered", "uturn"])
     ap.add_argument("--gd-warmup", type=int, default=0)
@@ -192,6 +202,7 @@ def main():
         "mass_adaptation": args.mass_adaptation,
         "spike_slab": args.spike_slab,
         "ss_markers": args.ss_markers,
+        "ss_rows": args.ss_rows,
         "packed": args.packed,
         "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
@@ -292,6 +303,13 @@ def main():
         ssm_pi=args.ssm_pi,
         ssm_fixed_pi=args.ssm_fixed_pi,
         ssm_warmup=args.ssm_warmup,
+        ss_rows=args.ss_rows,
+        ssr_pi=args.ssr_pi,
+        ssr_fixed_pi=args.ssr_fixed_pi,
+        ssr_spike=args.ssr_spike,
+        ssr_warmup=args.ssr_warmup,
+        ssr_shape=args.ssr_shape,
+        ssr_scale=args.ssr_scale,
         hmc_traj_length_mode=args.traj_length_mode,
         tempering=args.tempering,
         max_temperature=args.max_temperature,
@@ -308,7 +326,7 @@ def main():
     rec["test_r2"] = round(float(np.corrcoef(pm, y_te)[0, 1] ** 2), 3)
     import os as _os
 
-    if (args.spike_slab or args.ss_markers) and _os.path.exists(
+    if (args.spike_slab or args.ss_markers or args.ss_rows) and _os.path.exists(
         f"{outdir}/inclusion_probs"
     ):
         ip = json.load(open(f"{outdir}/inclusion_probs"))
@@ -316,7 +334,7 @@ def main():
             rec["inclusion_pi"] = round(ip["pi"], 3)
             pip = np.asarray(ip["pip"])
             rec["branches_pip_gt_half"] = int((pip > 0.5).sum())
-        if args.ss_markers and "pip_markers" in ip:
+        if (args.ss_markers or args.ss_rows) and "pip_markers" in ip:
             flat = np.concatenate([np.asarray(r) for r in ip["pip_markers"]])
             rec["ssm_pi"] = round(ip.get("pi_markers", args.ssm_pi), 4)
             rec["markers_pip_gt_half"] = int((flat > 0.5).sum())
