@@ -78,7 +78,7 @@ def blup_r2(X_tr, y_tr, X_te, y_te, h2):
     return float(np.corrcoef(pred, y_te)[0, 1] ** 2)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--snps", type=int, default=10_000)
     ap.add_argument("--branches", type=int, default=100)
@@ -142,7 +142,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--outdir", default=None, help="keep run artifacts here")
     ap.add_argument("--json-out", default=None, help="append result line here")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
