@@ -95,16 +95,25 @@ class BedVM:
         """Binomial(2, maf) genotype simulator (io/bed.rs:136-188); columns
         with zero variance are redrawn."""
         rng = np.random.default_rng(seed)
-        cols = np.empty((num_markers, num_individuals), np.int8)
-        for mix in range(num_markers):
-            while True:
-                maf = (
-                    float(mafs[mix]) if mafs is not None else rng.uniform(0.01, 0.5)
-                )
-                col = rng.binomial(2, maf, size=num_individuals)
-                if col.std() != 0:
-                    cols[mix] = col
-                    break
+        # vectorized draw (a per-marker python loop costs minutes at 10k
+        # markers x 100k+ individuals); zero-variance columns are redrawn
+        maf = (
+            np.asarray(mafs, np.float64)
+            if mafs is not None
+            else rng.uniform(0.01, 0.5, num_markers)
+        )
+        cols = rng.binomial(
+            2, maf[:, None], size=(num_markers, num_individuals)
+        ).astype(np.int8)
+        while True:
+            flat = np.all(cols == cols[:, :1], axis=1)
+            if not flat.any():
+                break
+            if mafs is None:
+                maf[flat] = rng.uniform(0.01, 0.5, int(flat.sum()))
+            cols[flat] = rng.binomial(
+                2, maf[flat][:, None], size=(int(flat.sum()), num_individuals)
+            ).astype(np.int8)
         return BedVM(pack_genotypes(cols), num_individuals, num_markers)
 
     @staticmethod
