@@ -262,7 +262,13 @@ def _mcmc_cfg_from_args(args, outpath: str):
 
 def _mode_suffixes(args) -> str:
     """Sampler-mode suffix chain shared by the train-new and train outdir
-    names (one source of truth so the two subcommands can never drift)."""
+    names (one source of truth so the two subcommands can never drift).
+
+    Naming change (round 2, ADVICE note): ``train`` outdirs now also carry
+    the ``_gdj`` suffix for joint gradient descent and spell the forced
+    inclusion warmup as ``_fp{value}`` (was a bare ``_fp``) — continuation
+    runs started before that change land in differently named directories;
+    pass an explicit outdir to continue them."""
     name = ""
     if args.joint_hmc:
         name += "_joint"
