@@ -170,10 +170,13 @@ def main():
     net = Net("ridge_base", arch, D.Hyperparameters(), state)
 
     rng = np.random.default_rng(0)
-    # feature-major [G, m_pad, n]: n fills the MXU lanes (models/density.FeatX)
+    # feature-major [G, m_pad, n]: n fills the MXU lanes (models/density.FeatX).
+    # Stored bf16: the MXU rounds f32 inputs to bf16 at DEFAULT precision
+    # anyway, and the X stream is the sweep's HBM bound (scripts/diag_scale)
+    # — storing the rounding halves the bytes.
     Xf = np.zeros((G, arch.m_pad, n), np.float32)
     Xf[:, :m, :] = rng.standard_normal((G, m, n), dtype=np.float32)
-    X = D.FeatX(jnp.asarray(Xf))
+    X = D.FeatX(jnp.asarray(Xf, dtype=jnp.bfloat16))
     y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     cfg = MCMCCfg(

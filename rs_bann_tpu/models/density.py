@@ -244,6 +244,11 @@ def matmul(a, b):
     if _COMPUTE_DTYPE is not None:
         a = a.astype(_COMPUTE_DTYPE)
         b = b.astype(_COMPUTE_DTYPE)
+    elif a.dtype != b.dtype:
+        # bf16-stored genotypes against f32 weights: compute in bf16 (the
+        # MXU rounds f32 inputs to bf16 at DEFAULT precision anyway)
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -263,6 +268,9 @@ def matmul_fm(w, a):
     if _COMPUTE_DTYPE is not None:
         wt = wt.astype(_COMPUTE_DTYPE)
         a = a.astype(_COMPUTE_DTYPE)
+    elif wt.dtype != a.dtype:
+        wt = wt.astype(jnp.bfloat16)
+        a = a.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         wt, a, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

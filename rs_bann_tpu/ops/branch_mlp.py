@@ -1,0 +1,239 @@
+"""Fused branch-MLP data-term value-and-grad (Pallas TPU kernel).
+
+Why this kernel exists (BENCH r3 diagnosis, scripts/diag_scale.py): the
+flagship HMC sweep is HBM-bound on streaming the branch genotypes X — the
+autodiff leapfrog reads X twice per step (forward + dW0 cotangent), and XLA
+cannot fuse the two passes for depth >= 1 because the cotangent needs the
+full forward first. But a branch net is PER-SAMPLE feed-forward: for one
+tile of individuals, the whole forward AND backward fit in VMEM (weights are
+KBs). So this kernel streams X exactly ONCE per leapfrog step and computes
+
+    y_pred = f(x; W, b)             (feature-major, [n])
+    rss    = sum_i (y_pred_i - t_i)^2
+    dW_l, db_l = d(rss/2) / d(W_l, b_l)      for every layer
+
+in a single pass, with all intermediate activations living and dying in
+VMEM — zero intermediate HBM traffic. The sampler's potential is then
+ld = prior(theta) - err_prec * rss / 2, with the (tiny, elementwise) prior
+gradient added by autodiff outside (samplers/hmc.py wires this in).
+
+The hot data path this replaces in the reference streams a dense f32 branch
+submatrix per update through ArrayFire GEMMs
+(/root/reference/src/net/branch/branch_sampler.rs:743-758 forward,
+/root/reference/src/io/bed.rs:325-355 upload); here one bf16 X stream per
+leapfrog step feeds the MXU directly.
+
+Supports every reference activation (tanh/relu/leaky_relu/silu/identity —
+pre-activations are in VMEM, so even silu's z-dependent derivative is free)
+and any depth (layers are unrolled at trace time). Inputs are cast to bf16
+for the MXU with f32 accumulation — the same rounding XLA's default
+precision applies to the autodiff path — except with input_dtype=None
+(f32), used by the CPU interpret-mode tests for exact comparison against
+``jax.grad``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SUPPORTED_ACTIVATIONS = ("identity", "relu", "leaky_relu", "tanh", "silu")
+
+# None: TPU-only (pallas off elsewhere). "interpret": force interpret-mode
+# pallas on CPU (tests). "off": never use the kernel.
+FORCE = None
+
+_TILE_N = 512
+
+
+def _act(name, z):
+    if name == "identity":
+        return z
+    if name == "relu":
+        return z * (z > 0)
+    if name == "leaky_relu":
+        return z * (z > 0) + 0.01 * z * (z < 0)
+    if name == "tanh":
+        return jnp.tanh(z)
+    if name == "silu":
+        return z * jax.nn.sigmoid(z)
+    raise ValueError(name)
+
+
+def _act_prime(name, z, a):
+    """h'(z) given pre-activation z and activation a = h(z)."""
+    if name == "identity":
+        return jnp.ones_like(z)
+    if name == "relu":
+        return (z > 0).astype(z.dtype)
+    if name == "leaky_relu":
+        return jnp.where(z > 0, 1.0, jnp.where(z < 0, 0.01, 0.0)).astype(z.dtype)
+    if name == "tanh":
+        return 1.0 - a * a
+    if name == "silu":
+        s = jax.nn.sigmoid(z)
+        return s * (1.0 + z * (1.0 - s))
+    raise ValueError(name)
+
+
+def available():
+    if FORCE == "off":
+        return False
+    if FORCE == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(act, n, tile_n, depth1, in_dtype, *refs):
+    """Grid (n_tiles,). refs layout:
+    [xT, target, W_0..W_{L-1}, b_0..b_{L-2} | y_pred, rss, dWT_0..dWT_{L-1},
+     db_0..db_{L-2}]   (L = depth1: number of weight layers incl. output)
+    Accumulating outputs use constant index maps — the block stays resident
+    in VMEM across the sequential TPU grid; init at tile 0.
+    """
+    from jax.experimental import pallas as pl
+
+    L = depth1
+    nin = 2 + L + (L - 1)
+    x_ref, t_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + L]
+    b_refs = refs[2 + L : nin]
+    out = refs[nin:]
+    yp_ref, rss_ref = out[0], out[1]
+    dwt_refs = out[2 : 2 + L]
+    db_refs = out[2 + L :]
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        rss_ref[:] = jnp.zeros_like(rss_ref)
+        for r in dwt_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # dot operands must agree in dtype (X may be stored bf16, weights f32)
+    cast = (
+        (lambda v: v.astype(jnp.float32))
+        if in_dtype is None
+        else (lambda v: v.astype(in_dtype))
+    )
+
+    # zero lanes past n: garbage in the tail block must not reach any
+    # accumulator (0 * NaN = NaN), so x is masked at the source and the
+    # error at the sink
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = (t * tile_n + lane) < n
+
+    x = jnp.where(valid, x_ref[:], 0.0)
+    a = cast(x)
+    zs, acts = [], [a]
+    for l in range(L - 1):
+        z = jax.lax.dot_general(
+            cast(w_refs[l][:]), a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_refs[l][:]
+        al = _act(act, z)
+        zs.append(z)
+        acts.append(al)
+        a = cast(al)
+    # output neuron: [s_pad, 1] weights as a VPU sublane reduction
+    w_out = w_refs[L - 1][:]
+    pred = jnp.sum(w_out * acts[-1], axis=0, keepdims=True)  # [1, TN]
+    yp_ref[:] = pred
+    err = jnp.where(valid, pred - t_ref[:], 0.0)
+    rss_ref[0, 0] += jnp.sum(err * err)
+
+    # backward: d(rss/2)/d(theta); all tile-local
+    dwt_refs[L - 1][:] += jnp.sum(acts[-1] * err, axis=1, keepdims=True).T
+    da = w_out * err  # [s_pad, TN]
+    for l in range(L - 2, -1, -1):
+        dz = da * _act_prime(act, zs[l], acts[l + 1])
+        db_refs[l][:] += jnp.sum(dz, axis=1, keepdims=True)
+        dwt_refs[l][:] += jax.lax.dot_general(
+            cast(dz), cast(acts[l]), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l > 0:
+            da = jax.lax.dot_general(
+                cast(w_refs[l][:]), cast(dz), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "in_dtype")
+)
+def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m_pad, n = xT.shape
+    L = len(weights)
+    tile_n = min(_TILE_N, -(-n // 128) * 128)
+    grid = (-(-n // tile_n),)
+
+    b2 = tuple(b[:, None] for b in biases)  # [out_pad] -> [out_pad, 1]
+    t2 = target[None, :]  # [1, n]
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [
+            pl.BlockSpec((m_pad, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ]
+        + [const(w.shape) for w in weights]
+        + [const(b.shape) for b in b2]
+    )
+    out_shapes = (
+        [
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(w.shape[::-1], jnp.float32) for w in weights]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b2]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
+            const((1, 1)),
+        ]
+        + [const(w.shape[::-1]) for w in weights]
+        + [const(b.shape) for b in b2]
+    )
+
+    kern = functools.partial(_kernel, act, n, tile_n, L, in_dtype)
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xT, t2, *weights, *b2)
+
+    y_pred = res[0][0]
+    rss = res[1][0, 0]
+    dws = tuple(dwt.T for dwt in res[2 : 2 + L])
+    dbs = tuple(db[:, 0] for db in res[2 + L :])
+    return y_pred, rss, dws, dbs
+
+
+def data_vg(act_name, x, weights, biases, target):
+    """(y_pred [n], rss, dW tuple, db tuple) with dW/db = d(rss/2)/d(.).
+
+    ``x`` is a feature-major [m_pad, n] array (FeatX.xT). Weights/biases are
+    one branch's tuples ([in_pad, out_pad] / [out_pad]); vmapping over a
+    leading branch axis maps onto an extra pallas grid dimension.
+    """
+    interpret = FORCE == "interpret"
+    in_dtype = None if interpret else "bfloat16"
+    return _data_vg_impl(
+        x, target, tuple(weights), tuple(biases), act_name, interpret, in_dtype
+    )

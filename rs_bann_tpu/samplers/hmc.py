@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import density as D
+from ..ops import branch_mlp
 from .mcmc_cfg import MCMCCfg
 
 ACCEPTED, REJECTED, REJECTED_EARLY = 0, 1, 2
@@ -242,6 +243,32 @@ def make_hmc_step(
 
     vg_exact = jax.value_and_grad(potential, argnums=(0, 1), has_aux=True)
 
+    # Fused Pallas path (ops/branch_mlp.py): the data term's forward AND all
+    # weight cotangents in ONE X stream per call — the autodiff path reads X
+    # twice per leapfrog step (forward + dW0 cotangent) and that stream is
+    # the measured wall-clock bound of the dense sweep (scripts/diag_scale).
+    # The tiny elementwise prior term stays on autodiff.
+    prior_vg = jax.value_and_grad(
+        lambda weights, biases, w_precisions: D.log_density_wrt_weights(
+            model_type, weights, w_precisions
+        ) + D.log_density_wrt_biases(model_type, biases),
+        argnums=(0, 1),
+    )
+
+    def vg_fused(weights, biases, w_precisions, error_precision, x, y):
+        y_pred, rss, dws, dbs = branch_mlp.data_vg(
+            act_name, x.xT, weights, biases, y
+        )
+        prior, (pgw, pgb) = prior_vg(weights, biases, w_precisions)
+        ld = prior - error_precision * rss / 2.0
+        gw = tuple(p - error_precision * d for p, d in zip(pgw, dws))
+        gb = tuple(p - error_precision * d for p, d in zip(pgb, dbs))
+        return (ld, (y_pred, prior)), (gw, gb)
+
+    fused_ok = (
+        not cfg.num_grad and act_name in branch_mlp.SUPPORTED_ACTIVATIONS
+    )
+
     def make_num_vg(masks_w, masks_b):
         """Forward finite differences, masked to true coordinates — the
         reference's numerical_ldg (branch_sampler.rs:480-504), vmapped over
@@ -291,7 +318,14 @@ def make_hmc_step(
         state after ``traj_len`` steps. Drawn independently of the state by
         the sweep (randomized-length HMC / u-turn-adaptive mode), so detailed
         balance holds per drawn length."""
-        vg = make_num_vg(masks_w, masks_b) if cfg.num_grad else vg_exact
+        if cfg.num_grad:
+            vg = make_num_vg(masks_w, masks_b)
+        elif (
+            fused_ok and isinstance(x, D.FeatX) and branch_mlp.available()
+        ):
+            vg = vg_fused
+        else:
+            vg = vg_exact
         num_vg = make_num_vg(masks_w, masks_b) if cfg.num_grad_traj else None
         k_eps, k_mom, k_acc = jax.random.split(key, 3)
         eps_w, eps_b = step_sizes(

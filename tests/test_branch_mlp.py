@@ -1,0 +1,124 @@
+"""Fused branch-MLP data-vg kernel (ops/branch_mlp.py) vs autodiff.
+
+The kernel computes the potential's data term (y_pred, rss, d(rss/2)/dθ)
+in one X stream (interpret mode on the CPU test mesh, f32 inputs — exact
+math). Reference: the autodiff of the same feature-major forward the
+sampler otherwise uses (samplers/hmc.py potential).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_bann_tpu.models import density as D
+from rs_bann_tpu.ops import branch_mlp as bm
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    bm.FORCE = "interpret"
+    yield
+    bm.FORCE = None
+
+
+def _autodiff_ref(act, xT, ws, bs, t):
+    def loss(ws, bs):
+        a = xT
+        for l in range(len(ws) - 1):
+            z = jax.lax.dot_general(
+                ws[l], a, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bs[l][:, None]
+            a = bm._act(act, z)
+        pred = jnp.sum(ws[-1] * a, axis=0)
+        return 0.5 * jnp.sum((pred - t) ** 2), pred
+
+    return jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(ws, bs)
+
+
+@pytest.mark.parametrize("act", list(bm.SUPPORTED_ACTIVATIONS))
+@pytest.mark.parametrize("widths,n", [((24, 16, 8, 1), 384), ((16, 8, 1), 300)])
+def test_matches_autodiff(act, widths, n):
+    rng = np.random.default_rng(0)
+    xT = jnp.asarray(rng.standard_normal((widths[0], n)), jnp.float32)
+    ws = tuple(
+        jnp.asarray(rng.standard_normal((widths[i], widths[i + 1])) * 0.3,
+                    jnp.float32)
+        for i in range(len(widths) - 1)
+    )
+    bs = tuple(
+        jnp.asarray(rng.standard_normal((widths[i + 1],)) * 0.1, jnp.float32)
+        for i in range(len(widths) - 2)
+    )
+    t = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    (l0, pred0), (gw, gb) = _autodiff_ref(act, xT, ws, bs, t)
+    yp, rss, dws, dbs = bm.data_vg(act, xT, ws, bs, t)
+    np.testing.assert_allclose(yp, pred0, atol=2e-5)
+    np.testing.assert_allclose(rss, 2 * l0, rtol=1e-5)
+    for a, b in zip(dws, gw):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+    for a, b in zip(dbs, gb):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_vmap_over_branches():
+    rng = np.random.default_rng(1)
+    G, m_pad, h, n = 5, 16, 8, 256
+    xT = jnp.asarray(rng.standard_normal((G, m_pad, n)), jnp.float32)
+    W0 = jnp.asarray(rng.standard_normal((G, m_pad, h)) * 0.3, jnp.float32)
+    W1 = jnp.asarray(rng.standard_normal((G, h, 1)) * 0.3, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal((G, h)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((G, n)), jnp.float32)
+    yp, rss, dws, dbs = jax.vmap(
+        lambda x, w0, w1, bb, tt: bm.data_vg("tanh", x, (w0, w1), (bb,), tt)
+    )(xT, W0, W1, b0, t)
+    yp2, rss2, dws2, _ = bm.data_vg(
+        "tanh", xT[2], (W0[2], W1[2]), (b0[2],), t[2]
+    )
+    np.testing.assert_allclose(yp[2], yp2, atol=1e-6)
+    np.testing.assert_allclose(rss[2], rss2, rtol=1e-6)
+    np.testing.assert_allclose(dws[0][2], dws2[0], atol=1e-6)
+
+
+def test_hmc_step_fused_matches_exact():
+    """make_hmc_step dispatches to the kernel for FeatX inputs; the proposal
+    must match the autodiff path run on the same key (f32 interpret mode —
+    only association-order roundoff differs)."""
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.params import bias_masks, weight_masks
+    from rs_bann_tpu.samplers.hmc import make_hmc_step
+    from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+
+    rng = np.random.default_rng(2)
+    G, m, h, n = 1, 12, 4, 256
+    arch = NetArch.uniform(G, m, h, 1, h)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    cfg = MCMCCfg(chain_length=1, burn_in=0, hmc_integration_length=5,
+                  hmc_step_size_mode="izmailov", seed=0)
+    step = make_hmc_step("ridge_base", "tanh", cfg)
+    xT = np.zeros((arch.m_pad, n), np.float32)
+    xT[:m] = rng.standard_normal((m, n))
+    y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    mw = tuple(jnp.asarray(m_[0]) for m_ in weight_masks(arch))
+    mb = tuple(jnp.asarray(m_[0]) for m_ in bias_masks(arch))
+    args = dict(
+        key=jax.random.key(3),
+        weights=tuple(w[0] for w in state.params.weights),
+        biases=tuple(b[0] for b in state.params.biases),
+        w_precisions=tuple(p[0] for p in state.precisions.weights),
+        b_precisions=tuple(p[0] for p in state.precisions.biases),
+        error_precision=jnp.float32(1.0),
+        y=y, masks_w=mw, masks_b=mb,
+        n_params=jnp.float32(m * h + h * h + h + 2 * h),
+    )
+    res_fused = step(x=D.FeatX(jnp.asarray(xT)), **args)
+    bm.FORCE = "off"  # autodiff path, same key
+    res_exact = step(x=D.FeatX(jnp.asarray(xT)), **args)
+    np.testing.assert_allclose(
+        res_fused.y_pred, res_exact.y_pred, atol=1e-3
+    )
+    for a, b in zip(res_fused.weights, res_exact.weights):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+    assert res_fused.code == res_exact.code
