@@ -87,13 +87,27 @@ def load_trajectories(outdir):
 
 
 def posterior_predictions(models_dir, X) -> np.ndarray:
-    """[samples, n] predictions from every saved model sample."""
+    """[samples, n] predictions from every saved model sample.
+
+    Multi-chain runs store per-chain sample streams in ``chain<k>/``
+    subdirectories (train.py save_sample); these are pooled — the posterior
+    mean over the pooled store is the multi-chain consensus predictor."""
     from .models.net import Net
 
     files = sorted(
         (p for p in Path(models_dir).iterdir() if p.suffix == ".npz"),
         key=lambda p: int(p.stem),
     )
+    if not files:
+        files = sorted(
+            (
+                p
+                for d in sorted(Path(models_dir).glob("chain*"))
+                for p in d.iterdir()
+                if p.suffix == ".npz"
+            ),
+            key=lambda p: (p.parent.name, int(p.stem)),
+        )
     return np.stack([np.asarray(Net.load(str(p)).predict(X)) for p in files])
 
 
