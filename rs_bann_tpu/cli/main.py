@@ -176,6 +176,12 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
         "sample-major dense form (mutually exclusive with "
         "--packed-genotypes)",
     )
+    p.add_argument(
+        "--x-bf16", action="store_true",
+        help="store feature-major genotypes in bfloat16 (halves the "
+        "dominant layer-0 HBM stream; the default-precision MXU rounds "
+        "f32 inputs to bf16 anyway — requires --feat-major)",
+    )
 
 
 def _add_train_io_args(p: argparse.ArgumentParser):
@@ -470,9 +476,10 @@ def cmd_train_new(args):
             else None
         )
     elif getattr(args, "feat_major", False):
-        dtr = train_data.gen.to_feature_major(arch, train_data.y())
+        xdt = "bfloat16" if getattr(args, "x_bf16", False) else "float32"
+        dtr = train_data.gen.to_feature_major(arch, train_data.y(), dtype=xdt)
         dte = (
-            test_data.gen.to_feature_major(arch, test_data.y())
+            test_data.gen.to_feature_major(arch, test_data.y(), dtype=xdt)
             if test_data is not None
             else None
         )
@@ -524,9 +531,12 @@ def cmd_train(args):
             if test_data is not None else None
         )
     elif getattr(args, "feat_major", False):
-        dtr = train_data.gen.to_feature_major(net.arch, train_data.y())
+        xdt = "bfloat16" if getattr(args, "x_bf16", False) else "float32"
+        dtr = train_data.gen.to_feature_major(
+            net.arch, train_data.y(), dtype=xdt
+        )
         dte = (
-            test_data.gen.to_feature_major(net.arch, test_data.y())
+            test_data.gen.to_feature_major(net.arch, test_data.y(), dtype=xdt)
             if test_data is not None else None
         )
     else:

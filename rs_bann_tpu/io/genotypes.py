@@ -66,12 +66,16 @@ class CompressedGenotypes:
         return pack_stacked(arch, self.bed, self.groups, y)
 
     def to_feature_major(
-        self, arch: NetArch, y: Optional[np.ndarray] = None
+        self, arch: NetArch, y: Optional[np.ndarray] = None, dtype=np.float32
     ) -> StackedData:
         """Feature-major dense FeatX [G, m_pad, n]: the MXU-lane-friendly
         layout for the compiled sweep (models/density.FeatX) — halves
         physical X HBM vs to_stacked for m_pad < 128 and cuts the branch
-        matmuls' lane padding."""
+        matmuls' lane padding.
+
+        ``dtype``: X storage dtype. bfloat16 halves the dominant layer-0
+        HBM stream (the default-precision MXU rounds f32 inputs to bf16
+        anyway; accumulation stays f32 — see models/density.matmul)."""
         import jax.numpy as jnp
 
         from ..models.density import FeatX
@@ -83,7 +87,8 @@ class CompressedGenotypes:
         if y is None:
             y = np.zeros(n, np.float32)
         return StackedData(
-            FeatX(jnp.asarray(X)), jnp.asarray(np.asarray(y, np.float32))
+            FeatX(jnp.asarray(X, dtype=dtype)),
+            jnp.asarray(np.asarray(y, np.float32)),
         )
 
 
