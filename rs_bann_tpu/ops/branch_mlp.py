@@ -91,10 +91,13 @@ def available():
 
 def _kernel(act, n, tile_n, depth1, in_dtype, *refs):
     """Grid (n_tiles,). refs layout:
-    [xT, target, W_0..W_{L-1}, b_0..b_{L-2} | y_pred, rss, dWT_0..dWT_{L-1},
+    [xT, target, W_0..W_{L-1}, b_0..b_{L-2} | y_pred, dWT_0..dWT_{L-1},
      db_0..db_{L-2}]   (L = depth1: number of weight layers incl. output)
     Accumulating outputs use constant index maps — the block stays resident
-    in VMEM across the sequential TPU grid; init at tile 0.
+    in VMEM across the sequential TPU grid; init at tile 0. (rss is
+    reduced OUTSIDE the kernel from y_pred — a scalar VMEM accumulator is
+    the one construct here with lowering risk, and the [n] re-read is
+    negligible.)
     """
     from jax.experimental import pallas as pl
 
@@ -104,15 +107,14 @@ def _kernel(act, n, tile_n, depth1, in_dtype, *refs):
     w_refs = refs[2 : 2 + L]
     b_refs = refs[2 + L : nin]
     out = refs[nin:]
-    yp_ref, rss_ref = out[0], out[1]
-    dwt_refs = out[2 : 2 + L]
-    db_refs = out[2 + L :]
+    yp_ref = out[0]
+    dwt_refs = out[1 : 1 + L]
+    db_refs = out[1 + L :]
 
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        rss_ref[:] = jnp.zeros_like(rss_ref)
         for r in dwt_refs + db_refs:
             r[:] = jnp.zeros_like(r)
 
@@ -146,7 +148,6 @@ def _kernel(act, n, tile_n, depth1, in_dtype, *refs):
     pred = jnp.sum(w_out * acts[-1], axis=0, keepdims=True)  # [1, TN]
     yp_ref[:] = pred
     err = jnp.where(valid, pred - t_ref[:], 0.0)
-    rss_ref[0, 0] += jnp.sum(err * err)
 
     # backward: d(rss/2)/d(theta); all tile-local
     dwt_refs[L - 1][:] += jnp.sum(acts[-1] * err, axis=1, keepdims=True).T
@@ -192,18 +193,12 @@ def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
         + [const(b.shape) for b in b2]
     )
     out_shapes = (
-        [
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ]
+        [jax.ShapeDtypeStruct((1, n), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape[::-1], jnp.float32) for w in weights]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b2]
     )
     out_specs = (
-        [
-            pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM),
-            const((1, 1)),
-        ]
+        [pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM)]
         + [const(w.shape[::-1]) for w in weights]
         + [const(b.shape) for b in b2]
     )
@@ -219,9 +214,9 @@ def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
     )(xT, t2, *weights, *b2)
 
     y_pred = res[0][0]
-    rss = res[1][0, 0]
-    dws = tuple(dwt.T for dwt in res[2 : 2 + L])
-    dbs = tuple(db[:, 0] for db in res[2 + L :])
+    rss = jnp.sum((y_pred - target) ** 2)
+    dws = tuple(dwt.T for dwt in res[1 : 1 + L])
+    dbs = tuple(db[:, 0] for db in res[1 + L :])
     return y_pred, rss, dws, dbs
 
 
