@@ -202,10 +202,30 @@ def main():
     )(net.state, X, y, keys)
     jax.block_until_ready(carry)
 
-    log(f"sweep: G={G} m={m} n={n} h={h} d={depth} C={C} L={L} [feature-major]")
+    log(f"sweep: G={G} m={m} n={n} h={h} d={depth} C={C} L={L} "
+        f"[feature-major, bf16 X, fused-grad kernel]")
     t0 = time.time()
-    carry, stats = sweep(carry, X, y)
-    sync(stats)
+    try:
+        carry, stats = sweep(carry, X, y)
+        sync(stats)
+    except Exception as e:  # fused-kernel lowering failure: fall back
+        log(f"fused sweep failed ({type(e).__name__}: {e}); "
+            "falling back to the autodiff path")
+        from rs_bann_tpu.ops import branch_mlp
+
+        branch_mlp.FORCE = "off"
+        sweep1 = net.make_sweep(cfg)
+        sweep = jax.jit(
+            lambda c, X_, y_: jax.lax.map(lambda ci: sweep1(ci, X_, y_), c)
+        )
+        carry = jax.jit(
+            lambda s, X_, y_, ks: jax.vmap(
+                lambda k: net.init_carry(X_, y_, k, state=s)
+            )(ks)
+        )(net.state, X, y, keys)
+        t0 = time.time()
+        carry, stats = sweep(carry, X, y)
+        sync(stats)
     compile_s = time.time() - t0
     log(f"compile+first sweep: {compile_s:.1f}s")
 

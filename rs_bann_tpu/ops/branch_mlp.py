@@ -79,7 +79,11 @@ def _act_prime(name, z, a):
 
 
 def available():
-    if FORCE == "off":
+    import os
+
+    if FORCE == "off" or os.environ.get("RS_BANN_FUSED", "").lower() in (
+        "0", "off", "false",
+    ):
         return False
     if FORCE == "interpret":
         return True
