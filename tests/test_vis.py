@@ -234,3 +234,33 @@ def test_est_effect_sizes_plot(linear_run, tmp_path):
     vis.plot_est_effect_sizes(rundir, sim.outdir, burn_in=2,
                               save_to=str(tmp_path / "eff.png"))
     assert (tmp_path / "eff.png").stat().st_size > 0
+
+
+def test_posterior_predictions_pools_chain_subdirs(tmp_path):
+    """Multi-chain runs save models/chain<k>/<ix>.npz; posterior_predictions
+    must pool them (the multi-chain consensus predictor) instead of failing
+    on the empty top level (r3 battery clus-4chain regression)."""
+    import numpy as np
+
+    from rs_bann_tpu.models import density as D
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+    from rs_bann_tpu.vis import posterior_predictions
+
+    arch = NetArch.uniform(2, 4, 3, 0, 3)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(0)
+    X = np.zeros((2, 16, arch.m_pad), np.float32)
+    X[:, :, :4] = rng.standard_normal((2, 16, 4))
+    mdir = tmp_path / "models"
+    for c in range(2):
+        d = mdir / f"chain{c}"
+        d.mkdir(parents=True)
+        for ix in range(3):
+            net.save(str(d / f"{ix}.npz"), state)
+    preds = posterior_predictions(str(mdir), X)
+    assert preds.shape == (6, 16)
+    # identical states -> identical predictions across the pooled samples
+    assert np.allclose(preds, preds[0])
