@@ -224,15 +224,239 @@ def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
     return y_pred, rss, dws, dbs
 
 
+# ------------------------------------------- branch-blocked variant
+#
+# One branch per pallas instance leaves the MXU mostly idle: a [h=32, m=64]
+# x [m, TN] dot issues a full 128x128 tile regardless (8x padding waste for
+# the flagship widths). When the sweep vmaps the per-branch vg over G, the
+# custom_vmap rule below dispatches instead to a kernel that packs NB
+# branches per instance with BLOCK-DIAGONAL layer weights
+# ([NB*out, NB*in] against the NB branches' stacked inputs [NB*in, TN]),
+# so layer dots run as full tiles (NB = 128 // h_pad: 4x less issue
+# padding at the flagship shape). The off-diagonal zeros make the big dot
+# exactly the NB independent branch dots; the dW cross-blocks it also
+# produces are discarded at the diagonal extraction.
+
+
+def _pick_nb(G, weights):
+    out0 = weights[0].shape[-1]
+    nb = max(1, 128 // max(8, out0))
+    while nb > 1 and G % nb:
+        nb //= 2
+    return nb
+
+
+def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
+    """Grid (G//NB, n_tiles); same ref layout as _kernel with a leading NB
+    block axis on every operand."""
+    from jax.experimental import pallas as pl
+
+    L = depth1
+    nin = 2 + L + (L - 1)
+    x_ref, t_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + L]
+    b_refs = refs[2 + L : nin]
+    out = refs[nin:]
+    yp_ref = out[0]
+    dwt_refs = out[1 : 1 + L]
+    db_refs = out[1 + L :]
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for r in dwt_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    cast = (
+        (lambda v: v.astype(jnp.float32))
+        if in_dtype is None
+        else (lambda v: v.astype(in_dtype))
+    )
+
+    def bd(w):  # [NB, in, out] -> block-diag [NB*out, NB*in]
+        i, o = w.shape[1], w.shape[2]
+        z = jnp.zeros((o, i), w.dtype)
+        rows = [
+            jnp.concatenate(
+                [w[b].T if bb == b else z for bb in range(nb)], axis=1
+            )
+            for b in range(nb)
+        ]
+        return jnp.concatenate(rows, axis=0)
+
+    def diag(m, o, i):  # [NB*o, NB*i] -> [NB, o, i] diagonal blocks
+        d = m.reshape(nb, o, nb, i)
+        return jnp.stack([d[b, :, b, :] for b in range(nb)])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = (t * tile_n + lane) < n
+
+    m_pad = x_ref.shape[1]
+    x = jnp.where(
+        valid, x_ref[:].reshape(nb * m_pad, tile_n), 0.0
+    )
+    a = cast(x)
+    zs, acts, bds = [], [a], []
+    for l in range(L - 1):
+        w = w_refs[l][:]
+        bd_l = cast(bd(w))
+        bds.append(bd_l)
+        z = jax.lax.dot_general(
+            bd_l, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_refs[l][:].reshape(-1, 1)
+        al = _act(act, z)
+        zs.append(z)
+        acts.append(al)
+        a = cast(al)
+    s_pad = w_refs[L - 1].shape[1]
+    w_out = w_refs[L - 1][:].reshape(nb * s_pad, 1)  # [NB, s, 1] stacked
+    contrib = w_out * acts[-1]  # [NB*s, TN]
+    pred = jnp.sum(contrib.reshape(nb, s_pad, tile_n), axis=1)  # [NB, TN]
+    yp_ref[:] = pred
+    err = jnp.where(valid, pred - t_ref[:], 0.0)  # [NB, TN]
+    errE = jnp.broadcast_to(
+        err[:, None, :], (nb, s_pad, tile_n)
+    ).reshape(nb * s_pad, tile_n)
+    dwt_refs[L - 1][:] += jnp.sum(acts[-1] * errE, axis=1).reshape(
+        nb, 1, s_pad
+    )
+    da = w_out * errE
+    for l in range(L - 2, -1, -1):
+        o = w_refs[l].shape[2]
+        i = w_refs[l].shape[1]
+        dz = da * _act_prime(act, zs[l], acts[l + 1])  # [NB*o, TN]
+        db_refs[l][:] += jnp.sum(dz, axis=1).reshape(nb, o)
+        dw_full = jax.lax.dot_general(
+            cast(dz), cast(acts[l]), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [NB*o, NB*i] incl. discarded cross-blocks
+        dwt_refs[l][:] += diag(dw_full, o, i)
+        if l > 0:
+            da = jax.lax.dot_general(
+                bds[l], cast(dz), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "in_dtype", "nb")
+)
+def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, n = xT.shape
+    L = len(weights)
+    tile_n = min(_TILE_N, -(-n // 128) * 128)
+    grid = (G // nb, -(-n // tile_n))
+
+    b2 = tuple(b for b in biases)  # [G, out]
+    const3 = lambda shape: pl.BlockSpec(
+        (nb,) + shape, lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const2 = lambda shape: pl.BlockSpec(
+        (nb,) + shape, lambda i, t: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (nb, m_pad, tile_n), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nb, tile_n), lambda i, t: (i, t), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [const3(w.shape[1:]) for w in weights]
+        + [const2(b.shape[1:]) for b in b2]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((G, n), jnp.float32)]
+        + [
+            jax.ShapeDtypeStruct((G,) + w.shape[1:][::-1], jnp.float32)
+            for w in weights
+        ]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b2]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(
+                (nb, tile_n), lambda i, t: (i, t), memory_space=pltpu.VMEM
+            )
+        ]
+        + [const3(w.shape[1:][::-1]) for w in weights]
+        + [const2(b.shape[1:]) for b in b2]
+    )
+
+    kern = functools.partial(_blocked_kernel, act, n, tile_n, L, nb, in_dtype)
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xT, target, *weights, *b2)
+
+    y_pred = res[0]
+    rss = jnp.sum((y_pred - target) ** 2, axis=1)
+    dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
+    dbs = tuple(res[1 + L :])
+    return y_pred, rss, dws, dbs
+
+
+@functools.lru_cache(maxsize=None)
+def _vg_for(act, interpret, in_dtype):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def vg(xT, target, weights, biases):
+        return _data_vg_impl(
+            xT, target, weights, biases, act, interpret, in_dtype
+        )
+
+    @vg.def_vmap
+    def _rule(axis_size, in_batched, xT, target, weights, biases):
+        xb, tb, wb, bb = in_batched
+        all_b = (
+            xb and tb and all(wb) and (all(bb) if bb else True)
+        )
+        out_batched = (True, True, tuple(True for _ in weights),
+                       tuple(True for _ in biases))
+        if all_b:
+            nb = _pick_nb(axis_size, weights)
+            out = _data_vg_blocked(
+                xT, target, weights, biases, act, interpret, in_dtype, nb
+            )
+            return out, out_batched
+        inner = lambda x_, t_, w_, b_: _data_vg_impl(
+            x_, t_, w_, b_, act, interpret, in_dtype
+        )
+        bcast = lambda v, b: v if b else jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (axis_size,) + a.shape), v
+        )
+        out = jax.vmap(inner)(
+            bcast(xT, xb), bcast(target, tb), bcast(weights, all(wb)),
+            bcast(biases, all(bb) if bb else True),
+        )
+        return out, out_batched
+
+    return vg
+
+
 def data_vg(act_name, x, weights, biases, target):
     """(y_pred [n], rss, dW tuple, db tuple) with dW/db = d(rss/2)/d(.).
 
     ``x`` is a feature-major [m_pad, n] array (FeatX.xT). Weights/biases are
-    one branch's tuples ([in_pad, out_pad] / [out_pad]); vmapping over a
-    leading branch axis maps onto an extra pallas grid dimension.
+    one branch's tuples ([in_pad, out_pad] / [out_pad]). Under a vmap over
+    a leading branch axis the custom_vmap rule dispatches to the
+    branch-blocked kernel (full MXU tiles); unvmapped calls run the
+    single-branch kernel.
     """
     interpret = FORCE == "interpret"
     in_dtype = None if interpret else "bfloat16"
-    return _data_vg_impl(
-        x, target, tuple(weights), tuple(biases), act_name, interpret, in_dtype
+    return _vg_for(act_name, interpret, in_dtype)(
+        x, target, tuple(weights), tuple(biases)
     )

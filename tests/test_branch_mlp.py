@@ -122,3 +122,40 @@ def test_hmc_step_fused_matches_exact():
     for a, b in zip(res_fused.weights, res_exact.weights):
         np.testing.assert_allclose(a, b, atol=1e-3)
     assert res_fused.code == res_exact.code
+
+
+@pytest.mark.parametrize("act", ["tanh", "silu"])
+def test_blocked_matches_single(act):
+    """G=8, h_pad=16 -> NB=8: the branch-blocked kernel (block-diagonal
+    layer dots, custom_vmap rule) must equal per-branch single calls."""
+    from rs_bann_tpu.ops.branch_mlp import _pick_nb
+
+    rng = np.random.default_rng(3)
+    G, m_pad, h, n = 8, 24, 16, 640
+    ws = (
+        jnp.asarray(rng.standard_normal((G, m_pad, h)) * 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((G, h, h)) * 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((G, h, 1)) * 0.3, jnp.float32),
+    )
+    bs = (
+        jnp.asarray(rng.standard_normal((G, h)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((G, h)) * 0.1, jnp.float32),
+    )
+    assert _pick_nb(G, tuple(w[0] for w in ws)) == 8
+    xT = jnp.asarray(rng.standard_normal((G, m_pad, n)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((G, n)), jnp.float32)
+    yp, rss, dws, dbs = jax.vmap(
+        lambda x, w0, w1, w2, b0, b1, tt: bm.data_vg(
+            act, x, (w0, w1, w2), (b0, b1), tt
+        )
+    )(xT, *ws, *bs, t)
+    for g in [0, 3, 7]:
+        yp1, rss1, dws1, dbs1 = bm.data_vg(
+            act, xT[g], tuple(w[g] for w in ws), tuple(b[g] for b in bs), t[g]
+        )
+        np.testing.assert_allclose(yp[g], yp1, atol=2e-5)
+        np.testing.assert_allclose(rss[g], rss1, rtol=1e-5)
+        for a, b in zip(dws, dws1):
+            np.testing.assert_allclose(a[g], b, atol=5e-4)
+        for a, b in zip(dbs, dbs1):
+            np.testing.assert_allclose(a[g], b, atol=5e-4)
