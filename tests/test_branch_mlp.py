@@ -159,3 +159,39 @@ def test_blocked_matches_single(act):
             np.testing.assert_allclose(a[g], b, atol=5e-4)
         for a, b in zip(dbs, dbs1):
             np.testing.assert_allclose(a[g], b, atol=5e-4)
+
+
+def test_full_sweep_fused_smoke():
+    """A multi-chain parallel sweep on FeatX with the kernel engaged (the
+    exact bench path): custom_vmap under the sweep's branch vmap inside
+    lax.scan must trace, and the sampler must move (accept some)."""
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+    from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+
+    G, m, n, h, C, L = 4, 8, 256, 4, 2, 5
+    arch = NetArch.uniform(G, m, h, 1, h)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(0)
+    Xf = np.zeros((G, arch.m_pad, n), np.float32)
+    Xf[:, :m, :] = rng.standard_normal((G, m, n), dtype=np.float32)
+    X = D.FeatX(jnp.asarray(Xf, dtype=jnp.bfloat16))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    cfg = MCMCCfg(chain_length=1, burn_in=10**9, hmc_integration_length=L,
+                  hmc_step_size_mode="izmailov", update_mode="parallel",
+                  num_chains=C, seed=0)
+    s1 = net.make_sweep(cfg)
+    sweep = jax.jit(lambda c, X_, y_: jax.lax.map(lambda ci: s1(ci, X_, y_), c))
+    keys = jax.random.split(jax.random.key(0), C)
+    carry = jax.jit(
+        lambda s, X_, y_, ks: jax.vmap(
+            lambda k: net.init_carry(X_, y_, k, state=s)
+        )(ks)
+    )(net.state, X, y, keys)
+    for _ in range(8):
+        carry, stats = sweep(carry, X, y)
+    counts = np.asarray(stats.counts)[:, 0]
+    assert counts.sum() > 0, "no accepted moves in 8 sweeps"
+    assert np.all(np.isfinite(np.asarray(stats.mse_train)))
