@@ -162,9 +162,17 @@ def main():
     for step in sys.argv[1:] or ["flagship", "packed", "4chain"]:
         try:
             if step == "flagship":
-                d_f = flagship(True)
+                try:
+                    d_f = flagship(True)
+                except Exception as e:
+                    import traceback
+
+                    traceback.print_exc()
+                    log(f"fused flagship FAILED: {type(e).__name__}: {e}")
+                    d_f = None
                 d_e = flagship(False)
-                log(f"fused speedup: {d_e/d_f:.2f}x")
+                if d_f:
+                    log(f"fused speedup: {d_e/d_f:.2f}x")
             elif step == "packed":
                 packed_profile()
             elif step == "4chain":
