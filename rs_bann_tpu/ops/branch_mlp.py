@@ -314,8 +314,8 @@ def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
     w_out = w_refs[L - 1][:].reshape(nb * s_pad, 1)  # [NB, s, 1] stacked
     contrib = w_out * acts[-1]  # [NB*s, TN]
     pred = jnp.sum(contrib.reshape(nb, s_pad, tile_n), axis=1)  # [NB, TN]
-    yp_ref[:] = pred
-    err = jnp.where(valid, pred - t_ref[:], 0.0)  # [NB, TN]
+    yp_ref[:] = pred[:, None, :]
+    err = jnp.where(valid, pred - t_ref[:, 0, :], 0.0)  # [NB, TN]
     errE = jnp.broadcast_to(
         err[:, None, :], (nb, s_pad, tile_n)
     ).reshape(nb * s_pad, tile_n)
@@ -327,7 +327,7 @@ def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
         o = w_refs[l].shape[2]
         i = w_refs[l].shape[1]
         dz = da * _act_prime(act, zs[l], acts[l + 1])  # [NB*o, TN]
-        db_refs[l][:] += jnp.sum(dz, axis=1).reshape(nb, o)
+        db_refs[l][:] += jnp.sum(dz, axis=1).reshape(nb, 1, o)
         dw_full = jax.lax.dot_general(
             cast(dz), cast(acts[l]), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -352,12 +352,14 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
     tile_n = min(_TILE_N, -(-n // 128) * 128)
     grid = (G // nb, -(-n // tile_n))
 
-    b2 = tuple(b for b in biases)  # [G, out]
+    # TPU pallas constrains a block's LAST TWO dims (divisible by (8, 128)
+    # or equal to the array dims) — rank-2 [G, n]/[G, out] operands with an
+    # (nb, ...) block violate it, so target/y_pred/biases carry a singleton
+    # middle axis: blocks become (nb, 1, full_dim).
+    b3 = tuple(b[:, None, :] for b in biases)  # [G, 1, out]
+    t3 = target[:, None, :]  # [G, 1, n]
     const3 = lambda shape: pl.BlockSpec(
         (nb,) + shape, lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    const2 = lambda shape: pl.BlockSpec(
-        (nb,) + shape, lambda i, t: (i, 0), memory_space=pltpu.VMEM
     )
     in_specs = (
         [
@@ -366,28 +368,30 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (nb, tile_n), lambda i, t: (i, t), memory_space=pltpu.VMEM
+                (nb, 1, tile_n), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
             ),
         ]
         + [const3(w.shape[1:]) for w in weights]
-        + [const2(b.shape[1:]) for b in b2]
+        + [const3(b.shape[1:]) for b in b3]
     )
     out_shapes = (
-        [jax.ShapeDtypeStruct((G, n), jnp.float32)]
+        [jax.ShapeDtypeStruct((G, 1, n), jnp.float32)]
         + [
             jax.ShapeDtypeStruct((G,) + w.shape[1:][::-1], jnp.float32)
             for w in weights
         ]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b2]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b3]
     )
     out_specs = (
         [
             pl.BlockSpec(
-                (nb, tile_n), lambda i, t: (i, t), memory_space=pltpu.VMEM
+                (nb, 1, tile_n), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
             )
         ]
         + [const3(w.shape[1:][::-1]) for w in weights]
-        + [const2(b.shape[1:]) for b in b2]
+        + [const3(b.shape[1:]) for b in b3]
     )
 
     kern = functools.partial(_blocked_kernel, act, n, tile_n, L, nb, in_dtype)
@@ -398,12 +402,12 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xT, target, *weights, *b2)
+    )(xT, t3, *weights, *b3)
 
-    y_pred = res[0]
+    y_pred = res[0][:, 0, :]
     rss = jnp.sum((y_pred - target) ** 2, axis=1)
     dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
-    dbs = tuple(res[1 + L :])
+    dbs = tuple(db[:, 0, :] for db in res[1 + L :])
     return y_pred, rss, dws, dbs
 
 
