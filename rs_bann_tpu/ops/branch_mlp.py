@@ -246,64 +246,38 @@ def _pick_nb(G, weights):
     return nb
 
 
-def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
-    """Grid (G//NB, n_tiles); same ref layout as _kernel with a leading NB
-    block axis on every operand."""
-    from jax.experimental import pallas as pl
-
-    L = depth1
+def _unpack_block_refs(L, refs):
     nin = 2 + L + (L - 1)
-    x_ref, t_ref = refs[0], refs[1]
-    w_refs = refs[2 : 2 + L]
-    b_refs = refs[2 + L : nin]
-    out = refs[nin:]
-    yp_ref = out[0]
-    dwt_refs = out[1 : 1 + L]
-    db_refs = out[1 + L :]
+    return (refs[0], refs[1], refs[2 : 2 + L], refs[2 + L : nin],
+            refs[nin], refs[nin + 1 : nin + 1 + L], refs[nin + 1 + L :])
 
-    t = pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        for r in dwt_refs + db_refs:
-            r[:] = jnp.zeros_like(r)
+def _bd(w, nb):  # [NB, in, out] -> block-diag [NB*out, NB*in]
+    i, o = w.shape[1], w.shape[2]
+    z = jnp.zeros((o, i), w.dtype)
+    rows = [
+        jnp.concatenate([w[b].T if bb == b else z for bb in range(nb)], axis=1)
+        for b in range(nb)
+    ]
+    return jnp.concatenate(rows, axis=0)
 
-    cast = (
-        (lambda v: v.astype(jnp.float32))
-        if in_dtype is None
-        else (lambda v: v.astype(in_dtype))
-    )
 
-    def bd(w):  # [NB, in, out] -> block-diag [NB*out, NB*in]
-        i, o = w.shape[1], w.shape[2]
-        z = jnp.zeros((o, i), w.dtype)
-        rows = [
-            jnp.concatenate(
-                [w[b].T if bb == b else z for bb in range(nb)], axis=1
-            )
-            for b in range(nb)
-        ]
-        return jnp.concatenate(rows, axis=0)
+def _bd_diag(m, nb, o, i):  # [NB*o, NB*i] -> [NB, o, i] diagonal blocks
+    d = m.reshape(nb, o, nb, i)
+    return jnp.stack([d[b, :, b, :] for b in range(nb)])
 
-    def diag(m, o, i):  # [NB*o, NB*i] -> [NB, o, i] diagonal blocks
-        d = m.reshape(nb, o, nb, i)
-        return jnp.stack([d[b, :, b, :] for b in range(nb)])
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
-    valid = (t * tile_n + lane) < n
-
-    m_pad = x_ref.shape[1]
-    x = jnp.where(
-        valid, x_ref[:].reshape(nb * m_pad, tile_n), 0.0
-    )
+def _mlp_chunk(act, nb, L, cast, bds, w_refs, b_refs, dwt_refs, db_refs,
+               x, tgt, valid, yp_write):
+    """Forward + backward of the NB-branch block on one lane chunk of
+    individuals; accumulates the d(rss/2) cotangents into the output refs.
+    ``x`` [NB*m_pad, TC] (already zero on invalid lanes), ``tgt`` [NB, TC]."""
+    tc = x.shape[1]
     a = cast(x)
-    zs, acts, bds = [], [a], []
+    zs, acts = [], [a]
     for l in range(L - 1):
-        w = w_refs[l][:]
-        bd_l = cast(bd(w))
-        bds.append(bd_l)
         z = jax.lax.dot_general(
-            bd_l, a, (((1,), (0,)), ((), ())),
+            bds[l], a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b_refs[l][:].reshape(-1, 1)
         al = _act(act, z)
@@ -312,13 +286,13 @@ def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
         a = cast(al)
     s_pad = w_refs[L - 1].shape[1]
     w_out = w_refs[L - 1][:].reshape(nb * s_pad, 1)  # [NB, s, 1] stacked
-    contrib = w_out * acts[-1]  # [NB*s, TN]
-    pred = jnp.sum(contrib.reshape(nb, s_pad, tile_n), axis=1)  # [NB, TN]
-    yp_ref[:] = pred[:, None, :]
-    err = jnp.where(valid, pred - t_ref[:, 0, :], 0.0)  # [NB, TN]
+    contrib = w_out * acts[-1]  # [NB*s, TC]
+    pred = jnp.sum(contrib.reshape(nb, s_pad, tc), axis=1)  # [NB, TC]
+    yp_write(pred)
+    err = jnp.where(valid, pred - tgt, 0.0)  # [NB, TC]
     errE = jnp.broadcast_to(
-        err[:, None, :], (nb, s_pad, tile_n)
-    ).reshape(nb * s_pad, tile_n)
+        err[:, None, :], (nb, s_pad, tc)
+    ).reshape(nb * s_pad, tc)
     dwt_refs[L - 1][:] += jnp.sum(acts[-1] * errE, axis=1).reshape(
         nb, 1, s_pad
     )
@@ -326,18 +300,98 @@ def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
     for l in range(L - 2, -1, -1):
         o = w_refs[l].shape[2]
         i = w_refs[l].shape[1]
-        dz = da * _act_prime(act, zs[l], acts[l + 1])  # [NB*o, TN]
+        dz = da * _act_prime(act, zs[l], acts[l + 1])  # [NB*o, TC]
         db_refs[l][:] += jnp.sum(dz, axis=1).reshape(nb, 1, o)
         dw_full = jax.lax.dot_general(
             cast(dz), cast(acts[l]), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [NB*o, NB*i] incl. discarded cross-blocks
-        dwt_refs[l][:] += diag(dw_full, o, i)
+        dwt_refs[l][:] += _bd_diag(dw_full, nb, o, i)
         if l > 0:
             da = jax.lax.dot_general(
                 bds[l], cast(dz), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+
+def _cast_for(in_dtype):
+    return (
+        (lambda v: v.astype(jnp.float32))
+        if in_dtype is None
+        else (lambda v: v.astype(in_dtype))
+    )
+
+
+def _blocked_kernel(act, n, tile_n, depth1, nb, in_dtype, *refs):
+    """Grid (G//NB, n_tiles); same ref layout as _kernel with a leading NB
+    block axis on every operand."""
+    from jax.experimental import pallas as pl
+
+    L = depth1
+    x_ref, t_ref, w_refs, b_refs, yp_ref, dwt_refs, db_refs = (
+        _unpack_block_refs(L, refs)
+    )
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for r in dwt_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    cast = _cast_for(in_dtype)
+    bds = [cast(_bd(w_refs[l][:], nb)) for l in range(L - 1)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = (t * tile_n + lane) < n
+    m_pad = x_ref.shape[1]
+    x = jnp.where(valid, x_ref[:].reshape(nb * m_pad, tile_n), 0.0)
+
+    def yp_write(pred):
+        yp_ref[:] = pred[:, None, :]
+
+    _mlp_chunk(act, nb, L, cast, bds, w_refs, b_refs, dwt_refs, db_refs,
+               x, t_ref[:, 0, :], valid, yp_write)
+
+
+def _blocked_packed_kernel(act, n, depth1, nb, in_dtype, *refs):
+    """Packed variant: grid (G//NB, n_groups); x_ref holds one group-strided
+    byte tile [NB, m_pad, 128] = 512 individuals, decoded part-by-part
+    in-kernel (the proven per-part pattern of ops/packed_matmul — decode is
+    five int vector ops per genotype and yields FEATURE-MAJOR chunks, so no
+    sample-major [n, k] intermediate ever exists). Weights[0]/biases[0] must
+    arrive pre-folded (scale into W0, -shift@W0' into the bias offset); the
+    caller unfolds the cotangents (data_vg_packed)."""
+    from jax.experimental import pallas as pl
+
+    from .packed_matmul import _kernel_decode_part
+
+    L = depth1
+    x_ref, t_ref, w_refs, b_refs, yp_ref, dwt_refs, db_refs = (
+        _unpack_block_refs(L, refs)
+    )
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for r in dwt_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    cast = _cast_for(in_dtype)
+    bds = [cast(_bd(w_refs[l][:], nb)) for l in range(L - 1)]
+    m_pad = x_ref.shape[1]
+    b_i32 = x_ref[:].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for q in range(4):
+        xq = _kernel_decode_part(b_i32, q).reshape(nb * m_pad, 128)
+        valid = (t * 512 + q * 128 + lane) < n
+        # decoded genotypes are already 0 past n (missing-code padding in
+        # pack_strided), so only the error needs the mask
+        tgt = t_ref[:, 0, q * 128 : (q + 1) * 128]
+
+        def yp_write(pred, q=q):
+            yp_ref[:, :, q * 128 : (q + 1) * 128] = pred[:, None, :]
+
+        _mlp_chunk(act, nb, L, cast, bds, w_refs, b_refs, dwt_refs, db_refs,
+                   xq, tgt, valid, yp_write)
 
 
 @functools.partial(
@@ -408,6 +462,125 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
     rss = jnp.sum((y_pred - target) ** 2, axis=1)
     dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
     dbs = tuple(db[:, 0, :] for db in res[1 + L :])
+    return y_pred, rss, dws, dbs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "in_dtype", "nb", "n")
+)
+def _data_vg_packed_blocked(
+    bytes_g, target, weights, biases, act, interpret, in_dtype, nb, n
+):
+    """weights[0]/biases[0] pre-folded (see data_vg_packed)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, B = bytes_g.shape
+    L = len(weights)
+    grid = (G // nb, B // 128)
+
+    b3 = tuple(b[:, None, :] for b in biases)
+    t3 = target[:, None, :]
+    const3 = lambda shape: pl.BlockSpec(
+        (nb,) + shape, lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (nb, m_pad, 128), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nb, 1, 512), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [const3(w.shape[1:]) for w in weights]
+        + [const3(b.shape[1:]) for b in b3]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((G, 1, n), jnp.float32)]
+        + [
+            jax.ShapeDtypeStruct((G,) + w.shape[1:][::-1], jnp.float32)
+            for w in weights
+        ]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b3]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(
+                (nb, 1, 512), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [const3(w.shape[1:][::-1]) for w in weights]
+        + [const3(b.shape[1:]) for b in b3]
+    )
+
+    kern = functools.partial(
+        _blocked_packed_kernel, act, n, L, nb, in_dtype
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(bytes_g, t3, *weights, *b3)
+
+    y_pred = res[0][:, 0, :]
+    rss = jnp.sum((y_pred - target) ** 2, axis=1)
+    dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
+    dbs = tuple(db[:, 0, :] for db in res[1 + L :])
+    return y_pred, rss, dws, dbs
+
+
+@functools.lru_cache(maxsize=None)
+def _vg_packed_for(act, interpret, in_dtype, n):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def vg(bytes_g, target, weights, biases):
+        out = _data_vg_packed_blocked(
+            bytes_g[None], target[None], tuple(w[None] for w in weights),
+            tuple(b[None] for b in biases), act, interpret, in_dtype, 1, n,
+        )
+        return jax.tree.map(lambda a: a[0], out)
+
+    @vg.def_vmap
+    def _rule(axis_size, in_batched, bytes_g, target, weights, biases):
+        out_batched = (True, True, tuple(True for _ in weights),
+                       tuple(True for _ in biases))
+        nb = _pick_nb(axis_size, weights)
+        out = _data_vg_packed_blocked(
+            bytes_g, target, weights, biases, act, interpret, in_dtype, nb, n
+        )
+        return out, out_batched
+
+    return vg
+
+
+def data_vg_packed(act_name, x, weights, biases, target):
+    """Packed-genotype fused vg: same contract as data_vg but ``x`` is a
+    PackedX (models/density.py). Standardization is folded into layer 0
+    before the kernel (W0' = scale*W0; offset -shift@W0' into the bias) and
+    the cotangents are unfolded after:
+
+        dU/dW0[m,j] = s_m*dW0'[m,j] - mu_m*s_m*doff_j,    dU/db0 = doff
+    """
+    interpret = FORCE == "interpret"
+    in_dtype = None if interpret else "bfloat16"
+    s = x.w_scale
+    w0p = s[:, None] * weights[0]
+    off = biases[0] - x.shift @ w0p
+    wf = (w0p,) + tuple(weights[1:])
+    bf = (off,) + tuple(biases[1:])
+    y_pred, rss, dws, dbs = _vg_packed_for(act_name, interpret, in_dtype, x.n)(
+        x.bytes, target, wf, bf
+    )
+    dW0 = s[:, None] * dws[0] - (x.shift * s)[:, None] * dbs[0]
+    dws = (dW0,) + tuple(dws[1:])
     return y_pred, rss, dws, dbs
 
 

@@ -256,9 +256,14 @@ def make_hmc_step(
     )
 
     def vg_fused(weights, biases, w_precisions, error_precision, x, y):
-        y_pred, rss, dws, dbs = branch_mlp.data_vg(
-            act_name, x.xT, weights, biases, y
-        )
+        if isinstance(x, D.PackedX):
+            y_pred, rss, dws, dbs = branch_mlp.data_vg_packed(
+                act_name, x, weights, biases, y
+            )
+        else:
+            y_pred, rss, dws, dbs = branch_mlp.data_vg(
+                act_name, x.xT, weights, biases, y
+            )
         prior, (pgw, pgb) = prior_vg(weights, biases, w_precisions)
         ld = prior - error_precision * rss / 2.0
         gw = tuple(p - error_precision * d for p, d in zip(pgw, dws))
@@ -321,7 +326,9 @@ def make_hmc_step(
         if cfg.num_grad:
             vg = make_num_vg(masks_w, masks_b)
         elif (
-            fused_ok and isinstance(x, D.FeatX) and branch_mlp.available()
+            fused_ok
+            and isinstance(x, (D.FeatX, D.PackedX))
+            and branch_mlp.available()
         ):
             vg = vg_fused
         else:

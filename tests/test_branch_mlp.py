@@ -195,3 +195,55 @@ def test_full_sweep_fused_smoke():
     counts = np.asarray(stats.counts)[:, 0]
     assert counts.sum() > 0, "no accepted moves in 8 sweeps"
     assert np.all(np.isfinite(np.asarray(stats.mse_train)))
+
+
+@pytest.mark.parametrize("act,depth", [("identity", 0), ("tanh", 1)])
+def test_packed_matches_dense_autodiff(act, depth):
+    """The packed fused kernel (in-kernel 2-bit decode, folded
+    standardization) must match autodiff on the dense standardized matrix."""
+    from rs_bann_tpu.models.density import PackedX
+    from rs_bann_tpu.ops.packed_matmul import pack_strided
+
+    rng = np.random.default_rng(4)
+    G, m, m_pad, h, n = 4, 12, 16, 8, 700
+    raw = rng.integers(0, 3, size=(G, m_pad, n)).astype(np.float32)
+    raw[:, m:, :] = 0.0
+    by = np.stack([pack_strided(raw[g]) for g in range(G)])
+    mu = raw.mean(axis=2)
+    sd = raw.std(axis=2)
+    scale = np.where(sd > 0, 1.0 / np.where(sd > 0, sd, 1.0), 0.0)
+    scale[:, m:] = 0.0
+    mu[:, m:] = 0.0
+    x = PackedX(jnp.asarray(by), jnp.asarray(scale.astype(np.float32)),
+                jnp.asarray(mu.astype(np.float32)), n)
+    dense = scale[:, :, None] * (raw - mu[:, :, None])  # [G, m_pad, n]
+
+    widths = [m_pad] + [h] * depth + [h, 1]
+    ws = tuple(
+        jnp.asarray(rng.standard_normal((G, widths[i], widths[i + 1])) * 0.3,
+                    jnp.float32)
+        for i in range(len(widths) - 1)
+    )
+    bs = tuple(
+        jnp.asarray(rng.standard_normal((G, widths[i + 1],)) * 0.1, jnp.float32)
+        for i in range(len(widths) - 2)
+    )
+    t = jnp.asarray(rng.standard_normal((G, n)), jnp.float32)
+
+    yp, rss, dws, dbs = jax.vmap(
+        lambda xg, tt, *wb: bm.data_vg_packed(
+            act, xg, wb[: len(ws)], wb[len(ws):], tt
+        )
+    )(x, t, *ws, *bs)
+
+    for g in [0, 3]:
+        (l0, pred0), (gw, gb) = _autodiff_ref(
+            act, jnp.asarray(dense[g]), tuple(w[g] for w in ws),
+            tuple(b[g] for b in bs), t[g],
+        )
+        np.testing.assert_allclose(yp[g], pred0, atol=5e-4)
+        np.testing.assert_allclose(rss[g], 2 * l0, rtol=1e-4)
+        for a, b in zip(dws, gw):
+            np.testing.assert_allclose(a[g], b, atol=3e-3)
+        for a, b in zip(dbs, gb):
+            np.testing.assert_allclose(a[g], b, atol=3e-3)
