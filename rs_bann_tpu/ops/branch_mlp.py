@@ -153,8 +153,10 @@ def _kernel(act, n, tile_n, depth1, in_dtype, *refs):
     yp_ref[:] = pred
     err = jnp.where(valid, pred - t_ref[:], 0.0)
 
-    # backward: d(rss/2)/d(theta); all tile-local
-    dwt_refs[L - 1][:] += jnp.sum(acts[-1] * err, axis=1, keepdims=True).T
+    # backward: d(rss/2)/d(theta); all tile-local. The output-layer dW is
+    # accumulated in the W's own [s_pad, 1] orientation — a [s,1]->[1,s]
+    # transpose is a Mosaic relayout (unsupported shape cast on TPU).
+    dwt_refs[L - 1][:] += jnp.sum(acts[-1] * err, axis=1, keepdims=True)
     da = w_out * err  # [s_pad, TN]
     for l in range(L - 2, -1, -1):
         dz = da * _act_prime(act, zs[l], acts[l + 1])
@@ -196,14 +198,17 @@ def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
         + [const(w.shape) for w in weights]
         + [const(b.shape) for b in b2]
     )
+    # hidden-layer dW accumulators come out of the dot as [out, in]
+    # (transposed); the output layer stays in W's own [s_pad, 1] shape
+    dwt_shapes = [w.shape[::-1] for w in weights[:-1]] + [weights[-1].shape]
     out_shapes = (
         [jax.ShapeDtypeStruct((1, n), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape[::-1], jnp.float32) for w in weights]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in dwt_shapes]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b2]
     )
     out_specs = (
         [pl.BlockSpec((1, tile_n), lambda t: (0, t), memory_space=pltpu.VMEM)]
-        + [const(w.shape[::-1]) for w in weights]
+        + [const(s) for s in dwt_shapes]
         + [const(b.shape) for b in b2]
     )
 
@@ -219,7 +224,7 @@ def _data_vg_impl(xT, target, weights, biases, act, interpret, in_dtype):
 
     y_pred = res[0][0]
     rss = jnp.sum((y_pred - target) ** 2)
-    dws = tuple(dwt.T for dwt in res[1 : 1 + L])
+    dws = tuple(dwt.T for dwt in res[1:L]) + (res[L],)
     dbs = tuple(db[:, 0] for db in res[1 + L :])
     return y_pred, rss, dws, dbs
 
@@ -252,26 +257,28 @@ def _unpack_block_refs(L, refs):
             refs[nin], refs[nin + 1 : nin + 1 + L], refs[nin + 1 + L :])
 
 
-def _bd(w, nb):  # [NB, in, out] -> block-diag [NB*out, NB*in]
-    i, o = w.shape[1], w.shape[2]
-    z = jnp.zeros((o, i), w.dtype)
+def _bd(wt, nb):  # TRANSPOSED weights [NB, out, in] -> block-diag [NB*out, NB*in]
+    o, i = wt.shape[1], wt.shape[2]
+    z = jnp.zeros((o, i), wt.dtype)
     rows = [
-        jnp.concatenate([w[b].T if bb == b else z for bb in range(nb)], axis=1)
+        jnp.concatenate([wt[b] if bb == b else z for bb in range(nb)], axis=1)
         for b in range(nb)
     ]
     return jnp.concatenate(rows, axis=0)
-
-
-def _bd_diag(m, nb, o, i):  # [NB*o, NB*i] -> [NB, o, i] diagonal blocks
-    d = m.reshape(nb, o, nb, i)
-    return jnp.stack([d[b, :, b, :] for b in range(nb)])
 
 
 def _mlp_chunk(act, nb, L, cast, bds, w_refs, b_refs, dwt_refs, db_refs,
                x, tgt, valid, yp_write):
     """Forward + backward of the NB-branch block on one lane chunk of
     individuals; accumulates the d(rss/2) cotangents into the output refs.
-    ``x`` [NB*m_pad, TC] (already zero on invalid lanes), ``tgt`` [NB, TC]."""
+    ``x`` [NB*m_pad, TC] (already zero on invalid lanes), ``tgt`` [NB, TC].
+
+    Layout discipline: every reshape here merges/splits LEADING dims only
+    (the minor lane dim never moves) — lane<->sublane reshapes are Mosaic
+    relayouts the TPU lowering rejects. Hidden weights therefore arrive
+    pre-transposed [NB, out, in] (no in-kernel transpose), biases and the
+    output weights as [NB, out, 1] / [NB, s, 1] columns, and the dW
+    diagonal blocks are extracted with static 2-D slices per branch."""
     tc = x.shape[1]
     a = cast(x)
     zs, acts = [], [a]
@@ -293,20 +300,23 @@ def _mlp_chunk(act, nb, L, cast, bds, w_refs, b_refs, dwt_refs, db_refs,
     errE = jnp.broadcast_to(
         err[:, None, :], (nb, s_pad, tc)
     ).reshape(nb * s_pad, tc)
-    dwt_refs[L - 1][:] += jnp.sum(acts[-1] * errE, axis=1).reshape(
-        nb, 1, s_pad
-    )
+    dwt_refs[L - 1][:] += jnp.sum(
+        acts[-1] * errE, axis=1, keepdims=True
+    ).reshape(nb, s_pad, 1)
     da = w_out * errE
     for l in range(L - 2, -1, -1):
-        o = w_refs[l].shape[2]
-        i = w_refs[l].shape[1]
+        o = w_refs[l].shape[1]  # transposed: [NB, out, in]
+        i = w_refs[l].shape[2]
         dz = da * _act_prime(act, zs[l], acts[l + 1])  # [NB*o, TC]
-        db_refs[l][:] += jnp.sum(dz, axis=1).reshape(nb, 1, o)
+        db_refs[l][:] += jnp.sum(dz, axis=1, keepdims=True).reshape(nb, o, 1)
         dw_full = jax.lax.dot_general(
             cast(dz), cast(acts[l]), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [NB*o, NB*i] incl. discarded cross-blocks
-        dwt_refs[l][:] += _bd_diag(dw_full, nb, o, i)
+        for b in range(nb):
+            dwt_refs[l][b, :, :] += dw_full[
+                b * o : (b + 1) * o, b * i : (b + 1) * i
+            ]
         if l > 0:
             da = jax.lax.dot_general(
                 bds[l], cast(dz), (((0,), (0,)), ((), ())),
@@ -394,6 +404,30 @@ def _blocked_packed_kernel(act, n, depth1, nb, in_dtype, *refs):
                    xq, tgt, valid, yp_write)
 
 
+def _blocked_operands(weights, biases, target, nb):
+    """Common operand packing for the blocked kernels (see _mlp_chunk's
+    layout discipline): hidden weights transposed [G, out, in], output
+    weights [G, s, 1] as-is, biases [G, out, 1] columns, target [G, 1, n].
+    Returns (wts, b3, t3, dwt_shapes) — dwt_shapes per-G trailing dims."""
+    wts = tuple(
+        jnp.swapaxes(w, 1, 2) for w in weights[:-1]
+    ) + (weights[-1],)
+    b3 = tuple(b[:, :, None] for b in biases)  # [G, out, 1]
+    t3 = target[:, None, :]  # [G, 1, n]
+    dwt_shapes = [w.shape[1:][::-1] for w in weights[:-1]] + [
+        weights[-1].shape[1:]
+    ]
+    return wts, b3, t3, dwt_shapes
+
+
+def _blocked_unpack(res, L, target, weights):
+    y_pred = res[0][:, 0, :]
+    rss = jnp.sum((y_pred - target) ** 2, axis=1)
+    dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1:L]) + (res[L],)
+    dbs = tuple(db[:, :, 0] for db in res[1 + L :])
+    return y_pred, rss, dws, dbs
+
+
 @functools.partial(
     jax.jit, static_argnames=("act", "interpret", "in_dtype", "nb")
 )
@@ -406,12 +440,7 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
     tile_n = min(_TILE_N, -(-n // 128) * 128)
     grid = (G // nb, -(-n // tile_n))
 
-    # TPU pallas constrains a block's LAST TWO dims (divisible by (8, 128)
-    # or equal to the array dims) — rank-2 [G, n]/[G, out] operands with an
-    # (nb, ...) block violate it, so target/y_pred/biases carry a singleton
-    # middle axis: blocks become (nb, 1, full_dim).
-    b3 = tuple(b[:, None, :] for b in biases)  # [G, 1, out]
-    t3 = target[:, None, :]  # [G, 1, n]
+    wts, b3, t3, dwt_shapes = _blocked_operands(weights, biases, target, nb)
     const3 = lambda shape: pl.BlockSpec(
         (nb,) + shape, lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -426,15 +455,12 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [const3(w.shape[1:]) for w in weights]
+        + [const3(w.shape[1:]) for w in wts]
         + [const3(b.shape[1:]) for b in b3]
     )
     out_shapes = (
         [jax.ShapeDtypeStruct((G, 1, n), jnp.float32)]
-        + [
-            jax.ShapeDtypeStruct((G,) + w.shape[1:][::-1], jnp.float32)
-            for w in weights
-        ]
+        + [jax.ShapeDtypeStruct((G,) + s, jnp.float32) for s in dwt_shapes]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b3]
     )
     out_specs = (
@@ -444,7 +470,7 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
                 memory_space=pltpu.VMEM,
             )
         ]
-        + [const3(w.shape[1:][::-1]) for w in weights]
+        + [const3(s) for s in dwt_shapes]
         + [const3(b.shape[1:]) for b in b3]
     )
 
@@ -456,13 +482,9 @@ def _data_vg_blocked(xT, target, weights, biases, act, interpret, in_dtype, nb):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xT, t3, *weights, *b3)
+    )(xT, t3, *wts, *b3)
 
-    y_pred = res[0][:, 0, :]
-    rss = jnp.sum((y_pred - target) ** 2, axis=1)
-    dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
-    dbs = tuple(db[:, 0, :] for db in res[1 + L :])
-    return y_pred, rss, dws, dbs
+    return _blocked_unpack(res, L, target, weights)
 
 
 @functools.partial(
@@ -479,8 +501,7 @@ def _data_vg_packed_blocked(
     L = len(weights)
     grid = (G // nb, B // 128)
 
-    b3 = tuple(b[:, None, :] for b in biases)
-    t3 = target[:, None, :]
+    wts, b3, t3, dwt_shapes = _blocked_operands(weights, biases, target, nb)
     const3 = lambda shape: pl.BlockSpec(
         (nb,) + shape, lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -495,15 +516,12 @@ def _data_vg_packed_blocked(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [const3(w.shape[1:]) for w in weights]
+        + [const3(w.shape[1:]) for w in wts]
         + [const3(b.shape[1:]) for b in b3]
     )
     out_shapes = (
         [jax.ShapeDtypeStruct((G, 1, n), jnp.float32)]
-        + [
-            jax.ShapeDtypeStruct((G,) + w.shape[1:][::-1], jnp.float32)
-            for w in weights
-        ]
+        + [jax.ShapeDtypeStruct((G,) + s, jnp.float32) for s in dwt_shapes]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b3]
     )
     out_specs = (
@@ -513,7 +531,7 @@ def _data_vg_packed_blocked(
                 memory_space=pltpu.VMEM,
             )
         ]
-        + [const3(w.shape[1:][::-1]) for w in weights]
+        + [const3(s) for s in dwt_shapes]
         + [const3(b.shape[1:]) for b in b3]
     )
 
@@ -527,13 +545,9 @@ def _data_vg_packed_blocked(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(bytes_g, t3, *weights, *b3)
+    )(bytes_g, t3, *wts, *b3)
 
-    y_pred = res[0][:, 0, :]
-    rss = jnp.sum((y_pred - target) ** 2, axis=1)
-    dws = tuple(jnp.swapaxes(dwt, 1, 2) for dwt in res[1 : 1 + L])
-    dbs = tuple(db[:, 0, :] for db in res[1 + L :])
-    return y_pred, rss, dws, dbs
+    return _blocked_unpack(res, L, target, weights)
 
 
 @functools.lru_cache(maxsize=None)
