@@ -327,9 +327,17 @@ def make_hmc_step(
             vg = make_num_vg(masks_w, masks_b)
         elif (
             fused_ok
-            and isinstance(x, (D.FeatX, D.PackedX))
+            and (
+                isinstance(x, D.PackedX)
+                or (isinstance(x, D.FeatX) and branch_mlp.FORCE is not None)
+            )
             and branch_mlp.available()
         ):
+            # PackedX always: measured 10.4x on the genome-scale hybrid
+            # sweep (238 vs 2476 ms/sweep — the sample-major [n, k<=16]
+            # pad/select fusions it removes dominated). Dense FeatX only
+            # under an explicit FORCE: there XLA's conv-emitter pipeline
+            # wins (44.2 vs 50.1 ms/sweep measured on the flagship shape).
             vg = vg_fused
         else:
             vg = vg_exact
