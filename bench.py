@@ -276,17 +276,55 @@ def main():
 
     # ---- effective samples per second, per PARAMETER (north-star #2):
     # one output weight per (chain, branch) + the shared error precision.
-    # Methodology (r3): the izmailov heuristic step size gives only ~0.3
-    # acceptance under the EXACT live-accept sampler (r2's 0.83 was the
-    # biased frozen-residual accept), so ESS is measured with
-    # dual-averaging-tuned step sizes — 24 adaptation sweeps (da_t <
-    # burn_in), then a frozen-step measurement window. Sweep cost is
-    # identical between modes (DA adds scalar host math only).
+    # Measured under TWO step-size regimes: the izmailov heuristic (the
+    # r01/r02-comparable series; acc ~0.3 under the exact live-accept
+    # sampler — r2's 0.83 was the biased frozen-residual accept) and
+    # dual-averaging-tuned (48 adaptation sweeps targeting 0.65, then a
+    # frozen-step window). Sweep cost is identical between modes.
+    ess_sweeps = 64
+
+    def measure_ess(sweep_fn, carry0, label):
+        c = carry0
+        w_series, lam_series, mse_series = [], [], []
+        t0 = time.time()
+        for _ in range(ess_sweeps):
+            c, stats = sweep_fn(c, X, y)
+            w_series.append(c.state.params.weights[-1][:, :, 0, 0])  # [C, G]
+            lam_series.append(c.state.precisions.error)  # [C]
+            mse_series.append(stats.mse_train)
+        sync(stats)
+        ess_dt = time.time() - t0
+        w_series = np.asarray(jax.device_get(w_series))  # [S, C, G]
+        lam_series = np.asarray(jax.device_get(lam_series))  # [S, C]
+        mse_series = np.asarray(jax.device_get(mse_series))  # [S, C]
+        per_param = []
+        for g in range(G):
+            per_param.append(sum(ess(w_series[:, c_, g]) for c_ in range(C)))
+        per_param.append(sum(ess(lam_series[:, c_]) for c_ in range(C)))
+        per_param = np.asarray(per_param)
+        out = {
+            "per_param_median": round(float(np.median(per_param)) / ess_dt, 1),
+            "per_param_min": round(float(per_param.min()) / ess_dt, 1),
+            "mse_stat": round(
+                sum(ess(mse_series[:, c_]) for c_ in range(C)) / ess_dt, 1
+            ),
+        }
+        log(
+            f"ESS/s over {ess_sweeps} sweeps x {C} chains ({label}): "
+            f"per-parameter median {out['per_param_median']}, min "
+            f"{out['per_param_min']}; mse-statistic {out['mse_stat']}"
+        )
+        return out, c
+
+    ess_iz, carry = measure_ess(sweep, carry, "izmailov step sizes")
+
     da_cfg = MCMCCfg(
         chain_length=1,
-        burn_in=24,
+        burn_in=48,
         hmc_integration_length=L,
         hmc_step_size_mode="dual_averaging",
+        target_accept=0.65,  # HMC-optimal; the cfg default (0.8) measured
+        # per-param ESS/s 6.6 vs izmailov's 21 on this shape
         update_mode="parallel",
         num_chains=C,
         seed=0,
@@ -300,40 +338,23 @@ def main():
             lambda k: net.init_carry(X_, y_, k, state=s)
         )(ks)
     )(net.state, X, y, keys)
-    for _ in range(24):  # adaptation window (da_t counts up to burn_in)
+    for _ in range(48):  # adaptation window (da_t counts up to burn_in)
         da_carry, da_stats = da_sweep(da_carry, X, y)
     sync(da_stats)
-    carry = da_carry
-    sweep = da_sweep
-    ess_sweeps = 64
     acc0 = np.asarray(da_stats.counts)[:, 0].sum()
-    w_series, lam_series, mse_series = [], [], []
-    t0 = time.time()
-    for _ in range(ess_sweeps):
-        carry, stats = sweep(carry, X, y)
-        w_series.append(carry.state.params.weights[-1][:, :, 0, 0])  # [C, G]
-        lam_series.append(carry.state.precisions.error)  # [C]
-        mse_series.append(stats.mse_train)
-    sync(stats)
-    ess_dt = time.time() - t0
-    w_series = np.asarray(jax.device_get(w_series))  # [S, C, G]
-    lam_series = np.asarray(jax.device_get(lam_series))  # [S, C]
-    mse_series = np.asarray(jax.device_get(mse_series))  # [S, C]
-    per_param = []
-    for g in range(G):
-        per_param.append(sum(ess(w_series[:, c, g]) for c in range(C)))
-    per_param.append(sum(ess(lam_series[:, c]) for c in range(C)))
-    per_param = np.asarray(per_param)
-    ess_mse = sum(ess(mse_series[:, c]) for c in range(C)) / ess_dt
-    ess_med = float(np.median(per_param)) / ess_dt
-    ess_min = float(per_param.min()) / ess_dt
-    ess_acc = (np.asarray(stats.counts)[:, 0].sum() - acc0) / (
-        ess_sweeps * C * G
+    ess_da, da_carry = measure_ess(
+        da_sweep, da_carry, "dual-averaging-tuned, frozen"
     )
-    log(
-        f"ESS/s over {ess_sweeps} sweeps x {C} chains (dual-averaging-tuned "
-        f"step sizes, acc={ess_acc:.2f}): per-parameter "
-        f"median {ess_med:.1f}, min {ess_min:.1f}; mse-statistic {ess_mse:.1f}"
+    ess_da["acceptance"] = round(
+        float(
+            (np.asarray(
+                jax.device_get(
+                    da_sweep(da_carry, X, y)[1].counts
+                )
+            )[:, 0].sum() - acc0)
+            / ((ess_sweeps + 1) * C * G)
+        ),
+        2,
     )
 
     # ---- self-baseline: the reference's algorithm (sequential random-scan
@@ -440,13 +461,8 @@ def main():
                 "issue_waste_sample_major_x": round(issue_sm / f_true, 2),
                 "layout_ceiling_mfu": round(1.0 / waste, 3),
                 "issue_frac_of_peak": round(issue_est / peak, 2),
-                "ess_per_s": {
-                    "per_param_median": round(ess_med, 1),
-                    "per_param_min": round(ess_min, 1),
-                    "mse_stat": round(ess_mse, 1),
-                    "acceptance": round(float(ess_acc), 2),
-                    "step_sizes": "dual_averaging-tuned, frozen",
-                },
+                "ess_per_s": ess_iz,  # izmailov (r01/r02-comparable)
+                "ess_per_s_tuned": ess_da,
                 "packed": {
                     "shape": f"G={pG},m={pm_},n={pn},ridge_ard,identity,hybrid,L={pL}",
                     "leapfrog_steps_per_s": round(p_steps_per_s, 1),
