@@ -247,3 +247,52 @@ def test_packed_matches_dense_autodiff(act, depth):
             np.testing.assert_allclose(a[g], b, atol=3e-3)
         for a, b in zip(dbs, gb):
             np.testing.assert_allclose(a[g], b, atol=3e-3)
+
+
+def test_hmc_step_packed_fused_matches_exact():
+    """PackedX dispatch through make_hmc_step (the production genome-scale
+    path): kernel proposal vs the autodiff packed_linear path, same key."""
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.density import PackedX
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.params import bias_masks, weight_masks
+    from rs_bann_tpu.ops.packed_matmul import pack_strided
+    from rs_bann_tpu.samplers.hmc import make_hmc_step
+    from rs_bann_tpu.samplers.mcmc_cfg import MCMCCfg
+
+    rng = np.random.default_rng(5)
+    G, m, h, n = 1, 12, 4, 600
+    arch = NetArch.uniform(G, m, h, 0, h, activation="identity")
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    raw = rng.integers(0, 3, size=(arch.m_pad, n)).astype(np.float32)
+    raw[m:] = 0.0
+    mu, sd = raw.mean(1), raw.std(1)
+    scale = np.where(sd > 0, 1.0 / np.where(sd > 0, sd, 1.0), 0.0)
+    scale[m:] = 0.0
+    mu[m:] = 0.0
+    x = PackedX(jnp.asarray(pack_strided(raw)[None])[0],
+                jnp.asarray(scale.astype(np.float32)),
+                jnp.asarray(mu.astype(np.float32)), n)
+    cfg = MCMCCfg(chain_length=1, burn_in=0, hmc_integration_length=4,
+                  hmc_step_size_mode="izmailov", seed=0)
+    step = make_hmc_step("ridge_base", "identity", cfg)
+    y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    mw = tuple(jnp.asarray(m_[0]) for m_ in weight_masks(arch))
+    mb = tuple(jnp.asarray(m_[0]) for m_ in bias_masks(arch))
+    args = dict(
+        key=jax.random.key(7),
+        weights=tuple(w[0] for w in state.params.weights),
+        biases=tuple(b[0] for b in state.params.biases),
+        w_precisions=tuple(p[0] for p in state.precisions.weights),
+        b_precisions=tuple(p[0] for p in state.precisions.biases),
+        error_precision=jnp.float32(1.0),
+        y=y, masks_w=mw, masks_b=mb,
+        n_params=jnp.float32(m * h + 2 * h),
+    )
+    res_fused = step(x=x, **args)
+    bm.FORCE = "off"
+    res_exact = step(x=x, **args)
+    np.testing.assert_allclose(res_fused.y_pred, res_exact.y_pred, atol=2e-3)
+    for a, b in zip(res_fused.weights, res_exact.weights):
+        np.testing.assert_allclose(a, b, atol=2e-3)
+    assert res_fused.code == res_exact.code
