@@ -239,16 +239,28 @@ def set_compute_dtype(dtype):
     _COMPUTE_DTYPE = dtype
 
 
+def _bf16_pair(a, b):
+    """Resolve a dtype mismatch: ONLY the intended bf16-stored-X vs f32-
+    weights pair downcasts (the MXU rounds f32 inputs to bf16 at DEFAULT
+    precision anyway); any other mismatch is a caller bug (ADVICE r3)."""
+    if jnp.bfloat16 not in (a.dtype, b.dtype) or not (
+        jnp.issubdtype(a.dtype, jnp.floating)
+        and jnp.issubdtype(b.dtype, jnp.floating)
+    ):
+        raise TypeError(
+            f"matmul dtype mismatch {a.dtype} vs {b.dtype}: only the "
+            "bf16-stored-X vs f32-weights pair is supported"
+        )
+    return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+
 def matmul(a, b):
     """a @ b with optional bf16 inputs and always-f32 accumulation."""
     if _COMPUTE_DTYPE is not None:
         a = a.astype(_COMPUTE_DTYPE)
         b = b.astype(_COMPUTE_DTYPE)
     elif a.dtype != b.dtype:
-        # bf16-stored genotypes against f32 weights: compute in bf16 (the
-        # MXU rounds f32 inputs to bf16 at DEFAULT precision anyway)
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+        a, b = _bf16_pair(a, b)
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -269,8 +281,7 @@ def matmul_fm(w, a):
         wt = wt.astype(_COMPUTE_DTYPE)
         a = a.astype(_COMPUTE_DTYPE)
     elif wt.dtype != a.dtype:
-        wt = wt.astype(jnp.bfloat16)
-        a = a.astype(jnp.bfloat16)
+        wt, a = _bf16_pair(wt, a)
     return jax.lax.dot_general(
         wt, a, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -564,6 +564,14 @@ def _vg_packed_for(act, interpret, in_dtype, n):
 
     @vg.def_vmap
     def _rule(axis_size, in_batched, bytes_g, target, weights, biases):
+        if not all(jax.tree.leaves(in_batched)):
+            # every current caller batches all operands; a partially-batched
+            # call could silently misread an axis when dims coincide
+            # (ADVICE r3) — refuse instead of guessing
+            raise NotImplementedError(
+                "data_vg_packed under vmap requires ALL operands batched; "
+                f"got in_batched={in_batched}"
+            )
         out_batched = (True, True, tuple(True for _ in weights),
                        tuple(True for _ in biases))
         nb = _pick_nb(axis_size, weights)
@@ -598,6 +606,200 @@ def data_vg_packed(act_name, x, weights, biases, target):
     return y_pred, rss, dws, dbs
 
 
+# ------------------------------------------- chain-folded dense variant
+#
+# The flagship sweep runs C MCMC chains; executed per-chain (lax.map), every
+# chain streams the branch genotypes X from HBM separately — and the r3
+# scaling study showed that stream is the sweep's wall-clock bound. vmap
+# nesting cannot fix it (measured scripts/exp_chainfold.py: both nestings
+# are 3-5x SLOWER — XLA re-lays-out the batched dots at every scan step).
+# This kernel folds the chain axis INSIDE the instance instead: weights
+# arrive chain-stacked [C*out, in], X is read ONCE per (branch, tile) and
+# feeds layer-0 forward [C*h, m] @ [m, TN] AND backward dW0 [C*h, TN] @
+# [TN, m] for all C chains — one X stream per leapfrog step total, with
+# C*h = 128 rows filling full MXU tiles (the per-chain kernel underfills
+# 4x at h=32). Hidden layers use the proven block-diagonal trick over the
+# CHAIN axis (chains are independent nets over shared data, exactly like
+# the branch blocks in _blocked_kernel are independent nets over their own
+# data).
+
+
+def _chain_kernel(act, n, tile_n, depth1, C, in_dtype, *refs):
+    """Grid (G, n_tiles). Ref layout as _kernel with a leading size-1 G
+    block dim; weights/biases arrive chain-merged:
+      x [1, m_pad, TN], target [1, C, TN],
+      hidden W (transposed, merged) [1, C*out, in], w_out [1, C*s, 1],
+      biases [1, C*out, 1]
+      outputs: y_pred [1, C, TN], dWT hidden [1, C*out, in] (accum),
+      dW_out [1, C*s, 1] (accum), db [1, C*out, 1] (accum)."""
+    from jax.experimental import pallas as pl
+
+    L = depth1
+    x_ref, t_ref, w_refs, b_refs, yp_ref, dwt_refs, db_refs = (
+        _unpack_block_refs(L, refs)
+    )
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for r in dwt_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    cast = _cast_for(in_dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = (t * tile_n + lane) < n
+    x = cast(jnp.where(valid, x_ref[0], 0.0))  # [m_pad, TN]
+
+    # layer 0: all C chains in one dot against the shared x — the X read
+    # this whole kernel exists to share
+    z = jax.lax.dot_general(
+        cast(w_refs[0][0]), x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_refs[0][0]  # [C*h, TN]
+    zs, acts = [z], [_act(act, z)]
+    # hidden layers 1..L-2: block-diagonal over chains
+    bds = []
+    for l in range(1, L - 1):
+        co, i = w_refs[l].shape[1], w_refs[l].shape[2]
+        bd = _bd(w_refs[l][0].reshape(C, co // C, i), C)  # [C*out, C*in]
+        bds.append(cast(bd))
+        z = jax.lax.dot_general(
+            bds[-1], cast(acts[-1]), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_refs[l][0]
+        zs.append(z)
+        acts.append(_act(act, z))
+    cs = w_refs[L - 1].shape[1]  # C*s_pad
+    s_pad = cs // C
+    w_out = w_refs[L - 1][0]  # [C*s, 1]
+    contrib = w_out * acts[-1]  # [C*s, TN]
+    pred = jnp.sum(contrib.reshape(C, s_pad, tile_n), axis=1)  # [C, TN]
+    yp_ref[0, :, :] = pred
+    err = jnp.where(valid, pred - t_ref[0], 0.0)  # [C, TN]
+    errE = jnp.broadcast_to(
+        err[:, None, :], (C, s_pad, tile_n)
+    ).reshape(cs, tile_n)
+    dwt_refs[L - 1][0, :, :] += jnp.sum(acts[-1] * errE, axis=1, keepdims=True)
+    da = w_out * errE  # [C*s, TN]
+    for l in range(L - 2, 0, -1):
+        co, i = w_refs[l].shape[1], w_refs[l].shape[2]
+        o = co // C
+        ci = C * i
+        dz = da * _act_prime(act, zs[l], acts[l])  # [C*o, TN]
+        db_refs[l][0, :, :] += jnp.sum(dz, axis=1, keepdims=True)
+        dw_full = jax.lax.dot_general(
+            cast(dz), cast(acts[l - 1]), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C*o, C*i] incl. discarded cross-chain blocks
+        for c in range(C):
+            dwt_refs[l][0, c * o : (c + 1) * o, :] += dw_full[
+                c * o : (c + 1) * o, c * i : (c + 1) * i
+            ]
+        da = jax.lax.dot_general(
+            bds[l - 1], cast(dz), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C*in, TN]
+    dz = da * _act_prime(act, zs[0], acts[0])  # [C*h, TN]
+    db_refs[0][0, :, :] += jnp.sum(dz, axis=1, keepdims=True)
+    # dW0 for all chains against the SAME resident x — no cross blocks
+    dwt_refs[0][0, :, :] += jax.lax.dot_general(
+        cast(dz), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C*h, m_pad]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "in_dtype", "C")
+)
+def _data_vg_chains_impl(xT, target, weights, biases, act, interpret,
+                         in_dtype, C):
+    """xT [G, m_pad, n]; target [G, C, n]; weights[l] [G, C, in, out];
+    biases[l] [G, C, out]. Returns (y_pred [G,C,n], rss [G,C],
+    dws, dbs) matching the weights/biases layouts."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, n = xT.shape
+    L = len(weights)
+    tile_n = min(_TILE_N, -(-n // 128) * 128)
+    grid = (G, -(-n // tile_n))
+
+    # chain-merge: hidden W -> transposed [G, C*out, in]; w_out [G, C*s, 1];
+    # biases [G, C*out, 1]
+    def merge_wt(w):  # [G, C, in, out] -> [G, C*out, in]
+        Gd, Cd, i, o = w.shape
+        return jnp.swapaxes(w, 2, 3).reshape(Gd, Cd * o, i)
+
+    wts = tuple(merge_wt(w) for w in weights[:-1]) + (
+        weights[-1].reshape(G, -1, 1),
+    )
+    b3 = tuple(b.reshape(G, -1, 1) for b in biases)
+    const3 = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda g, t: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [
+            pl.BlockSpec((1, m_pad, tile_n), lambda g, t: (g, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tile_n), lambda g, t: (g, 0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [const3(w.shape[1:]) for w in wts]
+        + [const3(b.shape[1:]) for b in b3]
+    )
+    dwt_shapes = [w.shape[1:] for w in wts]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((G, C, n), jnp.float32)]
+        + [jax.ShapeDtypeStruct((G,) + s, jnp.float32) for s in dwt_shapes]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b3]
+    )
+    out_specs = (
+        [pl.BlockSpec((1, C, tile_n), lambda g, t: (g, 0, t),
+                      memory_space=pltpu.VMEM)]
+        + [const3(s) for s in dwt_shapes]
+        + [const3(b.shape[1:]) for b in b3]
+    )
+    kern = functools.partial(_chain_kernel, act, n, tile_n, L, C, in_dtype)
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xT, target, *wts, *b3)
+
+    y_pred = res[0]  # [G, C, n]
+    rss = jnp.sum((y_pred - target) ** 2, axis=2)  # [G, C]
+
+    def unmerge(dwt, w):  # [G, C*out, in] -> [G, C, in, out]
+        Gd, Cd, i, o = w.shape
+        return jnp.swapaxes(dwt.reshape(Gd, Cd, o, i), 2, 3)
+
+    dws = tuple(
+        unmerge(res[1 + l], weights[l]) for l in range(L - 1)
+    ) + (res[L].reshape(weights[-1].shape),)
+    dbs = tuple(res[1 + L + l].reshape(biases[l].shape) for l in range(L - 1))
+    return y_pred, rss, dws, dbs
+
+
+def data_vg_chains(act_name, xT, weights, biases, target):
+    """Chain-folded fused vg: one X stream per call for ALL chains.
+
+    xT [G, m_pad, n] feature-major dense (bf16 or f32); weights[l]
+    [G, C, in_pad, out_pad]; biases[l] [G, C, out_pad]; target [G, C, n].
+    Returns (y_pred [G, C, n], rss [G, C], dW tuple, db tuple) with
+    dW/db = d(rss/2)/d(.) in the input layouts.
+    """
+    interpret = FORCE == "interpret"
+    in_dtype = None if interpret else "bfloat16"
+    C = target.shape[1]
+    return _data_vg_chains_impl(
+        xT, target, tuple(weights), tuple(biases), act_name, interpret,
+        in_dtype, C,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _vg_for(act, interpret, in_dtype):
     from jax.custom_batching import custom_vmap
@@ -625,12 +827,15 @@ def _vg_for(act, interpret, in_dtype):
         inner = lambda x_, t_, w_, b_: _data_vg_impl(
             x_, t_, w_, b_, act, interpret, in_dtype
         )
-        bcast = lambda v, b: v if b else jax.tree.map(
-            lambda a: jnp.broadcast_to(a[None], (axis_size,) + a.shape), v
+        bc1 = lambda a, b: a if b else jnp.broadcast_to(
+            a[None], (axis_size,) + a.shape
         )
+        # per-LEAF broadcast (ADVICE r3): a tuple with some layers batched
+        # and some not must only lift the unbatched ones
         out = jax.vmap(inner)(
-            bcast(xT, xb), bcast(target, tb), bcast(weights, all(wb)),
-            bcast(biases, all(bb) if bb else True),
+            bc1(xT, xb), bc1(target, tb),
+            tuple(bc1(w, b) for w, b in zip(weights, wb)),
+            tuple(bc1(b_, f) for b_, f in zip(biases, bb)),
         )
         return out, out_batched
 

@@ -205,3 +205,38 @@ def test_analyze_with_sim_and_plots(simdir, rundir, tmp_path):
         "training_stats.png", "posterior_means.png", "branch_trace.png",
         "r2_lpd.png", "perf_r2.png",
     } <= written
+
+
+def test_empty_model_scan_is_an_error(simdir, rundir):
+    """Pointing -m at the run dir (instead of <run>/models) used to emit
+    zero CSV rows with rc=0 (VERDICT r3); it must now fail loudly with a
+    hint at the models subdirectory."""
+    with pytest.raises(SystemExit) as exc:
+        run_cli(
+            "predict", simdir / "test", simdir / "train.groups",
+            "-m", rundir,
+        )
+    msg = str(exc.value)
+    assert "no <ix>.npz model samples" in msg and "models" in msg
+
+
+def test_model_scan_missing_dir_is_an_error(simdir, tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        run_cli(
+            "predict", simdir / "test", simdir / "train.groups",
+            "-m", tmp_path / "nope",
+        )
+    assert "not a directory" in str(exc.value)
+
+
+def test_x_bf16_requires_feat_major(simdir, tmp_path):
+    """--x-bf16 without --feat-major used to be silently ignored (ADVICE
+    r3); it must now exit with an error."""
+    with pytest.raises(SystemExit) as exc:
+        run_cli(
+            "train-new",
+            simdir / "train", simdir / "train.phen", simdir / "train.groups",
+            "lasso-base", "tanh", "0", "2", "3",
+            "--outpath", tmp_path, "--seed", "2", "--x-bf16",
+        )
+    assert "--x-bf16 requires --feat-major" in str(exc.value)
