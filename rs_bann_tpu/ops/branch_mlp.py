@@ -564,19 +564,35 @@ def _vg_packed_for(act, interpret, in_dtype, n):
 
     @vg.def_vmap
     def _rule(axis_size, in_batched, bytes_g, target, weights, biases):
-        if not all(jax.tree.leaves(in_batched)):
-            # every current caller batches all operands; a partially-batched
-            # call could silently misread an axis when dims coincide
-            # (ADVICE r3) — refuse instead of guessing
-            raise NotImplementedError(
-                "data_vg_packed under vmap requires ALL operands batched; "
-                f"got in_batched={in_batched}"
-            )
+        xb, tb, wb, bb = in_batched
         out_batched = (True, True, tuple(True for _ in weights),
                        tuple(True for _ in biases))
-        nb = _pick_nb(axis_size, weights)
-        out = _data_vg_packed_blocked(
-            bytes_g, target, weights, biases, act, interpret, in_dtype, nb, n
+        if xb and tb and all(wb) and (all(bb) if bb else True):
+            nb = _pick_nb(axis_size, weights)
+            out = _data_vg_packed_blocked(
+                bytes_g, target, weights, biases, act, interpret, in_dtype,
+                nb, n,
+            )
+            return out, out_batched
+        # partially batched (e.g. a chain vmap over shared genotype bytes):
+        # broadcast per LEAF and vmap the single-instance kernel (ADVICE r3
+        # fixed the silent axis misread; this fallback is correctness-first —
+        # the broadcast materializes the unbatched operands per batch entry,
+        # so multi-chain packed production should chain-fold instead)
+        bc1 = lambda a, b: a if b else jnp.broadcast_to(
+            a[None], (axis_size,) + a.shape
+        )
+        single = lambda x_, t_, w_, b_: jax.tree.map(
+            lambda a: a[0],
+            _data_vg_packed_blocked(
+                x_[None], t_[None], tuple(wi[None] for wi in w_),
+                tuple(bi[None] for bi in b_), act, interpret, in_dtype, 1, n,
+            ),
+        )
+        out = jax.vmap(single)(
+            bc1(bytes_g, xb), bc1(target, tb),
+            tuple(bc1(w, b) for w, b in zip(weights, wb)),
+            tuple(bc1(b_, f) for b_, f in zip(biases, bb)),
         )
         return out, out_batched
 

@@ -229,6 +229,28 @@ def make_hmc_step(
     L = cfg.hmc_integration_length
     max_err = cfg.hmc_max_hamiltonian_error
     record = cfg.trajectories
+    # Lean leapfrog body for deferred-accept (parallel/hybrid live-accept)
+    # transitions: the default body's per-step masked-freeze machinery (a
+    # where-select over every carry leaf), u-turn statistic and Hamiltonian
+    # series cost more HBM traffic than the value-and-grad itself — measured
+    # 41.8 -> ~14 ms/sweep on the flagship shape (scripts/exp_chainfold2.py:
+    # the stripped loop hits the MXU issue bound; X stays VMEM-resident
+    # across the scan, so the r3 "X-stream-bound" model was an overcount).
+    # Divergence handling moves to the END of the trajectory: dead iff the
+    # final |ΔH| > max_err or non-finite. Forced rejection on |ΔH| is
+    # symmetric under trajectory reversal (ΔH' = -ΔH), so detailed balance
+    # holds; the only behavioral change vs the masked-freeze body is that a
+    # trajectory whose H spikes mid-way but recovers is no longer censored
+    # (slightly HIGHER acceptance, still exact). u-turn tracking is only
+    # needed by the uturn-adaptive trajectory-length mode, which keeps the
+    # default body.
+    lean_ok = (
+        defer_accept
+        and not record
+        and not cfg.num_grad
+        and not cfg.num_grad_traj
+        and cfg.hmc_traj_length_mode == "fixed"
+    )
 
     def potential(weights, biases, w_precisions, error_precision, x, y):
         _, acts = D.forward(act_name, weights, biases, x)
@@ -376,6 +398,45 @@ def make_hmc_step(
         )
         kin0 = _kinetic(p_w, p_b)
         neg_h0 = ld0 - kin0
+
+        if lean_ok and traj_len is None:
+
+            def lean_body(carry, _):
+                w, b, pw, pb, gw, gb = carry
+                pw = _tree_mul_add(pw, eps_w, gw, 0.5)
+                pb = _tree_mul_add(pb, eps_b, gb, 0.5)
+                w = _tree_mul_add(w, eps_w, pw)
+                b = _tree_mul_add(b, eps_b, pb)
+                (_, _), (gw, gb) = vg(
+                    w, b, w_precisions, error_precision, x, y
+                )
+                pw = _tree_mul_add(pw, eps_w, gw, 0.5)
+                pb = _tree_mul_add(pb, eps_b, gb, 0.5)
+                return (w, b, pw, pb, gw, gb), None
+
+            (w_f, b_f, pw_f, pb_f, _, _), _ = jax.lax.scan(
+                lean_body, (weights, biases, p_w, p_b, g_w, g_b), None,
+                length=L,
+            )
+            # one value-only forward at the end replaces carrying
+            # (ld, y_pred, prior) through the scan — ~1/(3L) of the leapfrog
+            # cost, and the final X tile is already VMEM-resident
+            ld_f, (yp_f, pri_f) = potential(
+                w_f, b_f, w_precisions, error_precision, x, y
+            )
+            kin_f = _kinetic(pw_f, pb_f)
+            dead = ~(jnp.abs((ld_f - kin_f) - neg_h0) <= max_err)
+            return HMCProposal(
+                weights=w_f,
+                biases=b_f,
+                y_pred_prop=yp_f,
+                prior_prop=pri_f,
+                prior0=prior0,
+                kin_prop=kin_f,
+                kin0=kin0,
+                dead=dead,
+                uturn_step=jnp.zeros((), jnp.int32),
+            )
 
         init = (
             weights, biases, p_w, p_b, g_w, g_b, ld0, y_pred0, prior0,
