@@ -647,6 +647,34 @@ def _update_output_bias(cfg, hyper, key, residual, bias, bias_prec, err_prec):
 # --------------------------------------------------------------------------
 
 
+def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
+    """True when vmapping the sweep over chains engages the chain-folded
+    whole-trajectory kernel (samplers/hmc.make_transition_batch): dense
+    feature-major X, parallel live-accept marginal HMC, fixed trajectory
+    lengths, a supported activation, and a TPU (or forced-interpret)
+    backend. Callers use this to pick vmap over ``lax.map`` for the chain
+    axis — vmap without the fold is 3-5x SLOWER (scripts/exp_chainfold.py),
+    so the arrangement must follow the dispatch."""
+    from ..ops import branch_mlp
+
+    return (
+        isinstance(X, D.FeatX)
+        and cfg.update_mode == "parallel"
+        and cfg.live_accept
+        and not (cfg.joint_hmc or cfg.gradient_descent
+                 or cfg.gradient_descent_joint)
+        and not (cfg.spike_slab or cfg.ss_markers or cfg.ss_rows)
+        and not cfg.trajectories
+        and not (cfg.num_grad or cfg.num_grad_traj)
+        and cfg.hmc_traj_length_mode == "fixed"
+        and cfg.hmc_step_size_mode in (
+            "izmailov", "std_scaled", "dual_averaging"
+        )
+        and act in branch_mlp.SUPPORTED_ACTIVATIONS
+        and branch_mlp.available()
+    )
+
+
 def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     """Build the one-iteration Gibbs sweep.
 
@@ -756,6 +784,25 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             defer_accept=live_accept,
         )
         joint = False
+    # chain-folding interception (samplers/hmc.make_transition_batch): when
+    # the caller vmaps the sweep over chains, the per-branch trajectories of
+    # all chains integrate in ONE whole-trajectory Pallas kernel with X
+    # VMEM-resident (ops/leapfrog.py) instead of per-chain X streams
+    transition_batch = None
+    if (
+        not (cfg.gradient_descent or cfg.gradient_descent_joint
+             or cfg.joint_hmc)
+        and live_accept
+        and not cfg.trajectories
+        and not (cfg.num_grad or cfg.num_grad_traj)
+        and cfg.hmc_traj_length_mode == "fixed"
+        and cfg.update_mode == "parallel"
+    ):
+        from ..samplers.hmc import make_transition_batch
+
+        transition_batch = make_transition_batch(
+            model_type, act, cfg, transition, lean_ok=True
+        )
 
     n_precisions = float(
         1 + 2 * (L - 1) + 1
@@ -1439,22 +1486,30 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                         model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
                     )
                 )(carry.mm_mean, carry.mm_m2, wp, bp, params.weights, params.biases)
-            out = jax.vmap(one)(
-                hmc_keys,
-                params.weights,
-                params.biases,
-                wp,
-                bp,
-                X,
-                targets,
-                masks_w,
-                masks_b,
-                statics.n_params,
-                step_factors,
-                mass,
-                traj_lens,
-                z_m,
-            )
+            if transition_batch is not None:
+                m_w, m_b = mass if mass is not None else (None, None)
+                out = transition_batch(
+                    hmc_keys, params.weights, params.biases, wp, bp,
+                    err_hmc, X, targets, masks_w, masks_b,
+                    statics.n_params, step_factors, m_w, m_b,
+                )
+            else:
+                out = jax.vmap(one)(
+                    hmc_keys,
+                    params.weights,
+                    params.biases,
+                    wp,
+                    bp,
+                    X,
+                    targets,
+                    masks_w,
+                    masks_b,
+                    statics.n_params,
+                    step_factors,
+                    mass,
+                    traj_lens,
+                    z_m,
+                )
             if record_traj:
                 res, trajs = out
                 trajs = dict(trajs)

@@ -724,6 +724,12 @@ def _chain_kernel(act, n, tile_n, depth1, C, in_dtype, *refs):
     )  # [C*h, m_pad]
 
 
+# larger n tiles than the per-chain kernels: the chain-folded grid has few
+# steps (G x n/tile), so per-step sequencing overhead dominates at 512
+# (measured 36.9 -> see BENCH; VMEM per instance at 2048 stays ~5 MB)
+_TILE_N_CHAINS = 2048
+
+
 @functools.partial(
     jax.jit, static_argnames=("act", "interpret", "in_dtype", "C")
 )
@@ -737,7 +743,7 @@ def _data_vg_chains_impl(xT, target, weights, biases, act, interpret,
 
     G, m_pad, n = xT.shape
     L = len(weights)
-    tile_n = min(_TILE_N, -(-n // 128) * 128)
+    tile_n = min(_TILE_N_CHAINS, -(-n // 128) * 128)
     grid = (G, -(-n // tile_n))
 
     # chain-merge: hidden W -> transposed [G, C*out, in]; w_out [G, C*s, 1];

@@ -1,0 +1,317 @@
+"""Whole-trajectory chain-folded leapfrog kernel (Pallas TPU).
+
+The dense flagship sweep's bound (BENCH r3/r4 ablations,
+scripts/exp_chainfold*.py): every leapfrog step streams the branch
+genotypes X from HBM twice per chain (forward + dW0 cotangent), ~16 GB per
+sweep at the flagship shape — and per-step bookkeeping variants all land on
+the same ~36-45 ms floor, so only removing the stream itself helps. A
+branch's X tile is small ([m_pad, n] bf16, 512 KB at the flagship shape):
+this kernel keeps it VMEM-RESIDENT for the ENTIRE trajectory — grid (G,),
+one instance integrates all L leapfrog steps for all C chains of one
+branch, with weights chain-stacked [C*out, in] so layer dots run full
+128-row MXU tiles (a single chain's h=32 underfills 4x). X HBM traffic per
+sweep drops from 2·C·L to 1 stream; one pallas launch replaces L.
+
+The integrated density is the branch marginal log density
+(models/density.py):
+
+    ld(w, b) = prior(w, b) − err_prec · rss(w, b)/2
+    prior_g  = −λ∘w (ridge / std_normal)  |  −λ∘sign(w) (lasso)
+
+with per-coordinate step sizes ε (izmailov / dual-averaging / mass-matrix —
+all arrive as arrays), so the kernel computes exactly the lean deferred-
+accept body of samplers/hmc.make_hmc_step: L iterations of
+
+    p += ε/2·g;  q += ε·p;  g = ∇ld(q);  p += ε/2·g
+
+returning (q_L, p_L). Momentum sampling, Δ-Hamiltonian bookkeeping and the
+Metropolis accept stay OUTSIDE (samplers/hmc.py) — the kernel is a pure
+deterministic integrator, so exactness tests can diff it against the
+autodiff scan step-for-step (interpret mode, f32).
+
+Replaces the hot path of the reference's host-driven per-branch trajectory
+(/root/reference/src/net/branch/branch_sampler.rs:1192-1299) on its flagship
+multi-branch multi-chain workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .branch_mlp import _act, _act_prime, _bd, _cast_for
+
+# n is tiled inside the instance so activations stay VMEM-sized; X itself
+# is resident whole. The kernel is LATENCY-bound on the ~7-dot dependency
+# chain per (step, tile) — the largest tile that fits VMEM minimizes the
+# chain count (measured 28.5 ms/sweep at 2048 vs 36.9 at 512 on the
+# flagship shape).
+_TILE_N = 4096
+
+
+def _traj_kernel(act, n, L_steps, depth1, C, in_dtype, l1, *refs):
+    """Grid (G,). Ref layout (leading size-1 G block dim everywhere):
+      in:  x [1, m_pad, n], target [1, C, n], err [1, C, 1],
+           w_l [1, C*out, in] (hidden: transposed+chain-merged;
+                output layer [1, C*s, 1]),
+           b_l [1, C*out, 1] (hidden layers only),
+           p_w_l, p_b_l        (momenta, same shapes),
+           eps_w_l, eps_b_l    (per-coordinate step sizes, same shapes),
+           lam_w_l, lam_b_l    (prior precision factors, same shapes)
+      out: w_l, b_l, p_w_l, p_b_l (same shapes)
+    """
+    L = depth1
+    nw = L
+    nb = L - 1
+    x_ref, t_ref, e_ref = refs[0], refs[1], refs[2]
+    i = 3
+    w_refs = refs[i : i + nw]; i += nw
+    b_refs = refs[i : i + nb]; i += nb
+    pw_refs = refs[i : i + nw]; i += nw
+    pb_refs = refs[i : i + nb]; i += nb
+    ew_refs = refs[i : i + nw]; i += nw
+    eb_refs = refs[i : i + nb]; i += nb
+    lw_refs = refs[i : i + nw]; i += nw
+    lb_refs = refs[i : i + nb]; i += nb
+    ow_refs = refs[i : i + nw]; i += nw
+    ob_refs = refs[i : i + nb]; i += nb
+    opw_refs = refs[i : i + nw]; i += nw
+    opb_refs = refs[i : i + nb]; i += nb
+
+    cast = _cast_for(in_dtype)
+    tile = min(_TILE_N, -(-n // 128) * 128)
+    n_tiles = -(-n // tile)
+
+    x_all = x_ref[0]          # [m_pad, n] — VMEM-resident all L steps
+    tgt = t_ref[0]            # [C, n]
+    err = e_ref[0]            # [C, 1]
+    eps_w = [ew_refs[l][0] for l in range(nw)]
+    eps_b = [eb_refs[l][0] for l in range(nb)]
+    lam_w = [lw_refs[l][0] for l in range(nw)]
+    lam_b = [lb_refs[l][0] for l in range(nb)]
+    cs = w_refs[L - 1].shape[1]       # C*s_pad
+    s_pad = cs // C
+    # per-chain err broadcast to the merged [C*out, in] layouts
+    def errE(co, i_):
+        o = co // C
+        return jnp.broadcast_to(
+            err[:, :, None], (C, o, i_)
+        ).reshape(co, i_)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+
+    def data_grad(ws, bs):
+        """d(rss/2)/d(w, b) per chain, summed over all n (tiled)."""
+        dws = [jnp.zeros(w.shape, jnp.float32) for w in ws]
+        dbs = [jnp.zeros(b.shape, jnp.float32) for b in bs]
+        bds = [
+            _bd(ws[l].reshape(C, ws[l].shape[0] // C, ws[l].shape[1]), C)
+            for l in range(1, L - 1)
+        ]
+        bds = [cast(bd) for bd in bds]
+        w0c = cast(ws[0])
+        w_out = ws[L - 1]  # [C*s, 1]
+        for t in range(n_tiles):
+            sl = slice(t * tile, (t + 1) * tile)
+            valid = (t * tile + lane) < n
+            x = cast(jnp.where(valid, x_all[:, sl], 0.0))  # [m_pad, TN]
+            z = jax.lax.dot_general(
+                w0c, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bs[0]
+            zs, acts = [z], [_act(act, z)]
+            for l in range(1, L - 1):
+                z = jax.lax.dot_general(
+                    bds[l - 1], cast(acts[-1]), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bs[l]
+                zs.append(z)
+                acts.append(_act(act, z))
+            contrib = w_out * acts[-1]                     # [C*s, TN]
+            pred = jnp.sum(contrib.reshape(C, s_pad, tile), axis=1)
+            e_t = jnp.where(valid, pred - tgt[:, sl], 0.0)  # [C, TN]
+            eE = jnp.broadcast_to(
+                e_t[:, None, :], (C, s_pad, tile)
+            ).reshape(cs, tile)
+            dws[L - 1] = dws[L - 1] + jnp.sum(
+                acts[-1] * eE, axis=1, keepdims=True
+            )
+            da = w_out * eE
+            for l in range(L - 2, 0, -1):
+                co, i_ = ws[l].shape
+                o = co // C
+                dz = da * _act_prime(act, zs[l], acts[l])
+                dbs[l] = dbs[l] + jnp.sum(dz, axis=1, keepdims=True)
+                # per-chain dW dots on sublane-aligned slices (lane-offset
+                # slicing and scatter-add both fail Mosaic lowering; this
+                # form also skips the C x cross-block waste of a block-diag
+                # dW dot)
+                dzc = cast(dz)
+                ac = cast(acts[l - 1])
+                dws[l] = dws[l] + jnp.concatenate(
+                    [
+                        jax.lax.dot_general(
+                            dzc[c * o : (c + 1) * o, :],
+                            ac[c * i_ : (c + 1) * i_, :],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for c in range(C)
+                    ],
+                    axis=0,
+                )
+                da = jax.lax.dot_general(
+                    bds[l - 1], dzc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dz = da * _act_prime(act, zs[0], acts[0])
+            dbs[0] = dbs[0] + jnp.sum(dz, axis=1, keepdims=True)
+            dws[0] = dws[0] + jax.lax.dot_general(
+                cast(dz), x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return dws, dbs
+
+    def ld_grad(ws, bs):
+        """∇ of the branch marginal log density (prior − err·rss/2)."""
+        dws, dbs = data_grad(ws, bs)
+        pw_ = [
+            (-lam_w[l] * (jnp.sign(ws[l]) if l1 else ws[l]))
+            - errE(*ws[l].shape) * dws[l]
+            for l in range(nw)
+        ]
+        pb_ = [
+            (-lam_b[l] * (jnp.sign(bs[l]) if l1 else bs[l]))
+            - errE(*bs[l].shape) * dbs[l]
+            for l in range(nb)
+        ]
+        return pw_, pb_
+
+    ws0 = [w_refs[l][0].astype(jnp.float32) for l in range(nw)]
+    bs0 = [b_refs[l][0].astype(jnp.float32) for l in range(nb)]
+    pws0 = [pw_refs[l][0].astype(jnp.float32) for l in range(nw)]
+    pbs0 = [pb_refs[l][0].astype(jnp.float32) for l in range(nb)]
+    gws0, gbs0 = ld_grad(ws0, bs0)
+
+    def step(_, carry):
+        ws, bs, pws, pbs, gws, gbs = carry
+        pws = [p + 0.5 * e * g for p, e, g in zip(pws, eps_w, gws)]
+        pbs = [p + 0.5 * e * g for p, e, g in zip(pbs, eps_b, gbs)]
+        ws = [w + e * p for w, e, p in zip(ws, eps_w, pws)]
+        bs = [b + e * p for b, e, p in zip(bs, eps_b, pbs)]
+        gws, gbs = ld_grad(ws, bs)
+        pws = [p + 0.5 * e * g for p, e, g in zip(pws, eps_w, gws)]
+        pbs = [p + 0.5 * e * g for p, e, g in zip(pbs, eps_b, gbs)]
+        return (ws, bs, pws, pbs, gws, gbs)
+
+    ws, bs, pws, pbs, _, _ = jax.lax.fori_loop(
+        0, L_steps, step, (ws0, bs0, pws0, pbs0, gws0, gbs0)
+    )
+    for l in range(nw):
+        ow_refs[l][0, :, :] = ws[l]
+        opw_refs[l][0, :, :] = pws[l]
+    for l in range(nb):
+        ob_refs[l][0, :, :] = bs[l]
+        opb_refs[l][0, :, :] = pbs[l]
+
+
+def _merge_wt(w):  # [G, C, in, out] -> [G, C*out, in]
+    G, C, i, o = w.shape
+    return jnp.swapaxes(w, 2, 3).reshape(G, C * o, i)
+
+
+def _unmerge_wt(m, like):  # [G, C*out, in] -> [G, C, in, out]
+    G, C, i, o = like.shape
+    return jnp.swapaxes(m.reshape(G, C, o, i), 2, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "L_steps", "interpret", "in_dtype", "l1", "C"),
+)
+def _traj_chains_impl(
+    xT, targets, err, weights, biases, p_w, p_b, eps_w, eps_b, lam_w, lam_b,
+    act, L_steps, interpret, in_dtype, l1, C,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, n = xT.shape
+    L = len(weights)
+
+    def prep_w(ts):
+        return tuple(_merge_wt(t) for t in ts[: L - 1]) + (
+            ts[L - 1].reshape(G, -1, 1),
+        )
+
+    def prep_b(ts):
+        return tuple(t.reshape(G, -1, 1) for t in ts)
+
+    wm, pm, em, lm = (prep_w(t) for t in (weights, p_w, eps_w, lam_w))
+    bm, pbm, ebm, lbm = (prep_b(t) for t in (biases, p_b, eps_b, lam_b))
+    em3 = err.reshape(G, C, 1) if err.ndim > 1 else jnp.broadcast_to(
+        err.reshape(1, 1, 1), (G, C, 1)
+    )
+
+    const3 = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    operands = (
+        [xT, targets, em3]
+        + list(wm) + list(bm) + list(pm) + list(pbm)
+        + list(em) + list(ebm) + list(lm) + list(lbm)
+    )
+    in_specs = [const3(a.shape[1:]) for a in operands]
+    out_arrs = list(wm) + list(bm) + list(pm) + list(pbm)
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in out_arrs]
+    out_specs = [const3(a.shape[1:]) for a in out_arrs]
+
+    kern = functools.partial(
+        _traj_kernel, act, n, L_steps, L, C, in_dtype, l1
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+
+    nw, nb_ = L, L - 1
+    w_f = tuple(
+        _unmerge_wt(res[l], weights[l]) for l in range(L - 1)
+    ) + (res[L - 1].reshape(weights[-1].shape),)
+    b_f = tuple(res[nw + l].reshape(biases[l].shape) for l in range(nb_))
+    pw_f = tuple(
+        _unmerge_wt(res[nw + nb_ + l], weights[l]) for l in range(L - 1)
+    ) + (res[nw + nb_ + L - 1].reshape(weights[-1].shape),)
+    pb_f = tuple(
+        res[2 * nw + nb_ + l].reshape(biases[l].shape) for l in range(nb_)
+    )
+    return w_f, b_f, pw_f, pb_f
+
+
+def integrate_chains(
+    act_name, xT, targets, err, weights, biases, p_w, p_b, eps_w, eps_b,
+    lam_w, lam_b, L_steps, l1=False, interpret=False,
+):
+    """Integrate L leapfrog steps for all (branch, chain) pairs.
+
+    xT [G, m_pad, n] dense feature-major (bf16 or f32); targets [G, C, n];
+    err [G, C] (or scalar) per-chain error precisions; weights[l]
+    [G, C, in_pad, out_pad], biases[l] [G, C, out_pad]; p_* momenta, eps_*
+    per-coordinate step sizes, lam_* prior precision factors — all in the
+    weights/biases layouts. ``l1`` selects the Laplace prior gradient
+    (−λ∘sign(w)). Returns (w_L, b_L, p_w_L, p_b_L).
+    """
+    in_dtype = None if interpret else "bfloat16"
+    C = targets.shape[1]
+    return _traj_chains_impl(
+        xT, targets, jnp.asarray(err, jnp.float32), tuple(weights),
+        tuple(biases), tuple(p_w), tuple(p_b), tuple(eps_w), tuple(eps_b),
+        tuple(lam_w), tuple(lam_b), act_name, int(L_steps), interpret,
+        in_dtype, bool(l1), C,
+    )

@@ -901,3 +901,222 @@ def make_gradient_descent_joint(model_type: str, act_name: str, cfg: MCMCCfg):
         return res, sel(wp_f, w_prec), sel(bp_f, b_prec), jnp.where(ok, ep_f, err_prec)
 
     return gd
+
+
+def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
+                          transition, lean_ok: bool):
+    """Branch-batched deferred-accept transition with a chain-folding vmap
+    rule.
+
+    The returned callable runs ``jax.vmap(one)`` over the branch axis — the
+    parallel sweep's existing behavior. When a CALLER additionally vmaps the
+    whole sweep over chains, plain vmap composition re-lays-out the batched
+    leapfrog dots at every scan step (measured 3-5x slower,
+    scripts/exp_chainfold.py) and per-chain ``lax.map`` re-streams X from
+    HBM per chain per leapfrog direction — the r3-diagnosed wall-clock
+    bound of the dense flagship. The ``custom_vmap`` rule here intercepts
+    the chain axis and dispatches the whole-trajectory chain-folded Pallas
+    kernel (ops/leapfrog.py): X stays VMEM-resident for all L steps of all
+    C chains of a branch, and the rule reproduces the per-(chain, branch)
+    RNG derivations draw-for-draw, so the folded path samples exactly the
+    base path's transition.
+
+    Returned signature (leading-[G] arrays; per-sweep scalars unbatched):
+      fn(keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
+         masks_w, masks_b, n_params, step_factors, mass_w, mass_b)
+        -> HMCProposal batch ([G] leaves)
+    ``mass_w``/``mass_b`` are None when mass adaptation is off.
+    """
+    from jax.custom_batching import custom_vmap
+
+    from ..ops import branch_mlp, leapfrog
+
+    L_steps = cfg.hmc_integration_length
+    max_err = cfg.hmc_max_hamiltonian_error
+    l1 = D.is_lasso(model_type)
+    std_normal = model_type == "std_normal"
+    adaptive = cfg.hmc_step_size_mode == "dual_averaging"
+
+    def base(keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
+             masks_w, masks_b, n_params, step_factors, mass_w, mass_b):
+        def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac,
+                msw, msb):
+            kw = {}
+            if msw is not None:
+                kw["mass_w"], kw["mass_b"] = msw, msb
+            return transition(
+                k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
+                npar, fac if adaptive else None, **kw,
+            )
+
+        return jax.vmap(one)(
+            keys, weights, biases, w_prec, b_prec, x, targets, masks_w,
+            masks_b, n_params, step_factors, mass_w, mass_b,
+        )
+
+    base_cv = custom_vmap(base)
+
+    @base_cv.def_vmap
+    def _chain_rule(axis_size, in_batched, keys, weights, biases, w_prec,
+                    b_prec, err_prec, x, targets, masks_w, masks_b, n_params,
+                    step_factors, mass_w, mass_b):
+        (kb, wb, bb, wpb, bpb, eb, xb, tb, mwb, mbb, npb, sfb, mswb,
+         msbb) = in_batched
+        prop_batched = HMCProposal(
+            weights=tuple(True for _ in weights),
+            biases=tuple(True for _ in biases),
+            y_pred_prop=True, prior_prop=True, prior0=True, kin_prop=True,
+            kin0=True, dead=True, uturn_step=True,
+        )
+        flat = lambda t: jax.tree.leaves(t)
+        foldable = (
+            lean_ok
+            and isinstance(x, D.FeatX)
+            and not any(flat(xb))                      # x shared over chains
+            and not any(flat(mwb)) and not any(flat(mbb))
+            and not any(flat(npb))
+            and all(flat(kb)) and all(flat(wb)) and all(flat(bb))
+            and all(flat(tb))
+            and act_name in branch_mlp.SUPPORTED_ACTIVATIONS
+            and cfg.hmc_step_size_mode in (
+                "izmailov", "std_scaled", "dual_averaging"
+            )
+            and branch_mlp.available()
+        )
+        if not foldable:
+            axes = jax.tree.map(lambda b_: 0 if b_ else None, in_batched)
+            out = jax.vmap(base, in_axes=tuple(axes))(
+                keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
+                masks_w, masks_b, n_params, step_factors, mass_w, mass_b,
+            )
+            return out, prop_batched
+
+        C, G = targets.shape[0], targets.shape[1]
+        interpret = branch_mlp.FORCE == "interpret"
+
+        def t_cg(tree):  # [C, G, ...] -> [G, C, ...]
+            return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), tree)
+
+        def t_opt(tree, batched):
+            """Transpose chain-batched leaves; broadcast shared ones."""
+            def leaf(a, b_):
+                if b_:
+                    return jnp.swapaxes(a, 0, 1)
+                return jnp.broadcast_to(a[:, None], (G, C) + a.shape[1:])
+            return jax.tree.map(leaf, tree, batched)
+
+        keys_gc = t_cg(keys)
+        w_gc = t_cg(weights)
+        b_gc = t_cg(biases)
+        wp_gc = t_opt(w_prec, wpb)
+        bp_gc = t_opt(b_prec, bpb)
+        tgt_gc = t_cg(targets)
+        err_c = jnp.broadcast_to(jnp.asarray(err_prec), (C,))
+        err_gc = jnp.broadcast_to(err_c[None, :], (G, C))
+        fac_gc = t_opt(step_factors, sfb) if adaptive else None
+        has_mass = mass_w is not None
+        msw_gc = t_opt(mass_w, mswb) if has_mass else None
+        msb_gc = t_opt(mass_b, msbb) if has_mass else None
+
+        # per-(g, c) key splits, step sizes, masked momenta — the per-branch
+        # hmc's exact derivations, so folded == base draw-for-draw
+        def prep_gc(k, w1, b1, wp1, bp1, npar, fac1, msw1, msb1, mw, mb):
+            k_eps, k_mom, _ = jax.random.split(k, 3)
+            eps_w, eps_b = step_sizes(
+                k_eps, model_type, cfg, w1, b1, wp1, bp1, npar,
+                fac1 if adaptive else None, msw1, msb1,
+            )
+            mkeys = jax.random.split(k_mom, len(w1) + len(b1))
+            p_w = tuple(
+                jax.random.normal(kk, w.shape) * m
+                for kk, w, m in zip(mkeys, w1, mw)
+            )
+            p_b = tuple(
+                jax.random.normal(kk, bb2.shape) * m
+                for kk, bb2, m in zip(mkeys[len(w1):], b1, mb)
+            )
+            eps_w = tuple(
+                jnp.broadcast_to(e, w.shape) for e, w in zip(eps_w, w1)
+            )
+            eps_b = tuple(
+                jnp.broadcast_to(e, bb2.shape) for e, bb2 in zip(eps_b, b1)
+            )
+            return eps_w, eps_b, p_w, p_b
+
+        fax = 0 if adaptive else None
+        max_ = 0 if has_mass else None
+        inner = jax.vmap(
+            prep_gc,
+            in_axes=(0, 0, 0, 0, 0, None, fax, max_, max_, None, None),
+        )
+        outer = jax.vmap(
+            inner,
+            in_axes=(0, 0, 0, 0, 0, 0, fax, max_, max_, 0, 0),
+        )
+        eps_w, eps_b, p_w, p_b = outer(
+            keys_gc, w_gc, b_gc, wp_gc, bp_gc, n_params, fac_gc,
+            msw_gc, msb_gc, masks_w, masks_b,
+        )
+
+        # prior precision factors in weight layout: grad = -lam*w
+        # (gaussian) / -lam*sign(w) (laplace); marginal-mode biases are
+        # unregularized except std_normal's unit precisions
+        if std_normal:
+            lam_w = tuple(jnp.ones_like(w) for w in w_gc)
+            lam_b = tuple(jnp.ones_like(b) for b in b_gc)
+        else:
+            lam_w = tuple(
+                jnp.broadcast_to(lp, w.shape) for lp, w in zip(wp_gc, w_gc)
+            )
+            lam_b = tuple(jnp.zeros_like(b) for b in b_gc)
+
+        def prior_of(ws, bs, wps):
+            return D.log_density_wrt_weights(
+                model_type, ws, wps
+            ) + D.log_density_wrt_biases(model_type, bs)
+
+        prior_gc = jax.vmap(jax.vmap(prior_of))
+
+        def kin(pws, pbs):
+            return 0.5 * sum(
+                jnp.sum(p * p, axis=tuple(range(2, p.ndim)))
+                for p in (tuple(pws) + tuple(pbs))
+            )
+
+        _, rss0, _, _ = branch_mlp.data_vg_chains(
+            act_name, x.xT, w_gc, b_gc, tgt_gc
+        )
+        pri0 = prior_gc(w_gc, b_gc, wp_gc)          # [G, C]
+        kin0 = kin(p_w, p_b)
+        neg_h0 = (pri0 - err_gc * rss0 / 2.0) - kin0
+
+        w_f, b_f, pw_f, pb_f = leapfrog.integrate_chains(
+            act_name, x.xT, tgt_gc, err_gc, w_gc, b_gc, p_w, p_b,
+            eps_w, eps_b, lam_w, lam_b, L_steps, l1=l1, interpret=interpret,
+        )
+
+        yp_f, rss_f, _, _ = branch_mlp.data_vg_chains(
+            act_name, x.xT, w_f, b_f, tgt_gc
+        )
+        pri_f = prior_gc(w_f, b_f, wp_gc)
+        kin_f = kin(pw_f, pb_f)
+        neg_h_f = (pri_f - err_gc * rss_f / 2.0) - kin_f
+        dead = ~(jnp.abs(neg_h_f - neg_h0) <= max_err)
+
+        back = lambda tree: jax.tree.map(
+            lambda a: jnp.swapaxes(a, 0, 1), tree
+        )
+        prop = HMCProposal(
+            weights=back(w_f),
+            biases=back(b_f),
+            y_pred_prop=back(yp_f),
+            prior_prop=back(pri_f),
+            prior0=back(pri0),
+            kin_prop=back(kin_f),
+            kin0=back(kin0),
+            dead=back(dead),
+            uturn_step=jnp.zeros((C, G), jnp.int32),
+        )
+        return prop, prop_batched
+
+    return base_cv

@@ -424,12 +424,20 @@ def train(
         )(net.state, X, y, key)
     else:
         # chains run sequentially inside one compiled program (lax.map):
-        # measured ~2.7x faster than a vmapped chain batch on v5e, which
-        # blows past VMEM with [C*G, n, *] intermediates. Mesh-sharded
-        # multi-chain runs use vmap instead (parallel/sharding.py).
-        sweep_jit = jax.jit(
-            lambda c, X_, y_: jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
-        )
+        # measured ~2.7x faster than a PLAIN vmapped chain batch on v5e,
+        # which blows past VMEM with [C*G, n, *] intermediates. Mesh-sharded
+        # multi-chain runs use vmap instead (parallel/sharding.py) — and so
+        # does the dense parallel live-accept path, where the chain vmap
+        # dispatches the chain-folded whole-trajectory kernel (one X stream
+        # for all chains; models/net.chain_fold_eligible).
+        from .models.net import chain_fold_eligible
+
+        if chain_fold_eligible(net.model_type, net.arch.activation, cfg, X):
+            sweep_jit = jax.jit(jax.vmap(sweep, in_axes=(0, None, None)))
+        else:
+            sweep_jit = jax.jit(
+                lambda c, X_, y_: jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
+            )
         keys = jax.random.split(jax.random.key(cfg.seed), C)
         betas = (
             jnp.asarray(tempering_ladder(C, cfg.max_temperature), jnp.float32)

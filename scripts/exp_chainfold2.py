@@ -127,3 +127,59 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def traj_kernel_bench():
+    """Whole-trajectory kernel (ops/leapfrog.py) at the flagship shape,
+    with honestly-evolving state (see exp_chainfold3 LICM note)."""
+    import jax
+    import jax.numpy as jnp
+    from rs_bann_tpu.ops.leapfrog import integrate_chains
+
+    G, m, n, h, C, L = 64, 64, 4096, 32, 4, 64
+    sweeps = 5
+    act = "tanh"
+    rng = np.random.default_rng(0)
+    xT = jnp.asarray(
+        rng.standard_normal((G, m, n)).astype(np.float32), jnp.bfloat16
+    )
+    widths = [(m, h), (h, h), (h, 1)]
+    mk = lambda sc: tuple(
+        jnp.asarray(rng.standard_normal((G, C, i, o)).astype(np.float32)) * sc
+        for i, o in widths
+    )
+    mkb = lambda sc: tuple(
+        jnp.asarray(rng.standard_normal((G, C, o)).astype(np.float32)) * sc
+        for i, o in widths[:-1]
+    )
+    weights = mk(0.2)
+    p_w = mk(0.5)
+    eps_w = tuple(jnp.full_like(w, 2e-3) for w in weights)
+    lam_w = tuple(jnp.ones_like(w) for w in weights)
+    biases = mkb(0.1)
+    p_b = mkb(0.5)
+    eps_b = tuple(jnp.full_like(b, 2e-3) for b in biases)
+    lam_b = tuple(jnp.zeros_like(b) for b in biases)
+    targets = jnp.asarray(rng.standard_normal((G, C, n)).astype(np.float32))
+    err = jnp.ones((G, C), jnp.float32)
+
+    @jax.jit
+    def run(w, b):
+        def one_sweep(carry, _):
+            w, b = carry
+            w, b, pw, pb = integrate_chains(
+                act, xT, targets, err, w, b, p_w, p_b, eps_w, eps_b,
+                lam_w, lam_b, L,
+            )
+            return (w, b), jnp.sum(pw[0][:, :, 0, 0])
+        (w, b), ks = jax.lax.scan(one_sweep, (w, b), None, length=sweeps)
+        return ks
+
+    t0 = time.time()
+    sync(run(weights, biases))
+    comp = time.time() - t0
+    med, lo, hi = timed(lambda: sync(run(weights, biases)))
+    steps = sweeps * C * G * L
+    print(f"trajectory kernel: compile {comp:.1f}s; {med/sweeps*1e3:.1f} ms/sweep "
+          f"[{lo/sweeps*1e3:.1f}, {hi/sweeps*1e3:.1f}] -> "
+          f"{steps/med:,.0f} leapfrog steps/s", flush=True)
