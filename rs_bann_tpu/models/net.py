@@ -286,48 +286,36 @@ def _marker_ss_scan(
         from ..ops.packed_matmul import unpack_strided
 
         n = x_g.n
-        nf = jnp.asarray(float(n))
-        # standardized columns have ssq exactly n (population std); padded /
-        # zero-variance markers have w_scale == 0
-        sxx = jnp.where(x_g.w_scale > 0, nf, 0.0)
-
-        def col(j):
-            raw = unpack_strided(x_g.bytes[j][None, :], n)[0]
-            return (raw - x_g.shift[j]) * x_g.w_scale[j]
-
-    elif isinstance(x_g, D.FeatX):
-        xT = x_g.xT
-        sxx = jnp.sum(xT * xT, axis=1)
-
-        def col(j):
-            return xT[j]  # feature-major: a marker is a (fast) row slice
-
-    else:
-        sxx = jnp.sum(x_g * x_g, axis=0)
-
-        def col(j):
-            return x_g[:, j]
 
     e0 = resid0
     k_perm, k_scan = jax.random.split(key)
     order = jax.random.permutation(k_perm, m_pad)
 
-    def body(carry, j):
-        e, W0_c, z_c = carry
+    # Blocked execution of the SAME random scan (VERDICT r3 #4): the
+    # permuted order is processed in blocks of kb markers. Within a block
+    # the sequential dependence runs in COEFFICIENT space — maintain
+    # u_vec = X_Jᵀe and the block Gram matrix X_J X_Jᵀ, so each marker's
+    # update touches kb-vectors instead of the length-n residual; the
+    # residual itself updates once per block (e −= Δβᵀ X_J). Exactly the
+    # marker-by-marker kernel (same order, same per-marker keys, same
+    # draws), with the n-length traffic per marker cut ~kb-fold — the
+    # sequential rank-1 scan dominated ssm wall clock at UKB scale
+    # (2,392 s vs 1,207 s for branch-SS at equal chains).
+    kb = next(k for k in (16, 8, 4, 2, 1) if m_pad % k == 0)
+    blocks = order.reshape(m_pad // kb, kb)
+
+    def marker_move(t, j, u_j_mj, sxx_j, row):
+        """One marker's collapsed (z_j, row) draw given u_j = x_jᵀe_{−j}."""
         kj = jax.random.fold_in(k_scan, j)
         k_z, k_a, k_o = jax.random.split(kj, 3)
-        x_j = col(j)
-        row = W0_c[j]
-        e_mj = e + x_j * jnp.dot(row, w)
-        u = jnp.dot(x_j, e_mj)
         d_j = col_mask0 / eta[j]  # slab variances (0 on padded columns)
         dw = d_j * what
         v_a = jnp.maximum(jnp.dot(what, dw), 1e-30)  # prior var of a_j
         lam_a = 1.0 / v_a
-        q_a = lam_a + lam_e * sxx[j] * wn2
+        q_a = lam_a + lam_e * sxx_j * wn2
         log_bf = (
             0.5 * jnp.log(lam_a / q_a)
-            + 0.5 * (lam_e * wnorm * u) ** 2 / q_a
+            + 0.5 * (lam_e * wnorm * u_j_mj) ** 2 / q_a
         )
         logit = jnp.log(pi_m) - jnp.log1p(-pi_m) + log_bf
         zj = jnp.where(
@@ -336,15 +324,52 @@ def _marker_ss_scan(
             jax.random.bernoulli(k_z, jax.nn.sigmoid(logit)).astype(jnp.float32),
         )
         zj = zj * row_mask[j]  # padded markers never enter
-        a = lam_e * wnorm * u / q_a + jax.random.normal(k_a, ()) / jnp.sqrt(q_a)
+        a = lam_e * wnorm * u_j_mj / q_a + jax.random.normal(k_a, ()) / jnp.sqrt(q_a)
         xi = jax.random.normal(k_o, row.shape) * jnp.sqrt(d_j)
         xi = xi - dw * (jnp.dot(xi, what) / v_a)
         new_row = jnp.where(zj > 0, (dw / v_a) * a + xi, 0.0)
-        e_new = e_mj - x_j * jnp.dot(new_row, w)
-        return (e_new, W0_c.at[j].set(new_row), z_c.at[j].set(zj)), None
+        return zj, new_row
+
+    def block_body(carry, J):
+        e, W0_c, z_c = carry
+        if packed:
+            raw = unpack_strided(x_g.bytes[J], n)  # [kb, n]
+            X_J = (raw - x_g.shift[J][:, None]) * x_g.w_scale[J][:, None]
+        elif isinstance(x_g, D.FeatX):
+            X_J = x_g.xT[J]
+        else:
+            X_J = x_g[:, J].T  # [kb, n]
+        gram = X_J @ X_J.T  # [kb, kb]
+        u0 = X_J @ e  # [kb]
+        W0_blk = W0_c[J]  # [kb, s_pad]
+
+        def inner(c2, t):
+            u_vec, W0_b, z_b, dbeta = c2
+            j = J[t]
+            row = W0_b[t]
+            beta_old = jnp.dot(row, w)
+            u_j_mj = u_vec[t] + gram[t, t] * beta_old
+            zj, new_row = marker_move(t, j, u_j_mj, gram[t, t], row)
+            beta_new = jnp.dot(new_row, w)
+            db = beta_new - beta_old
+            u_vec = u_vec - gram[:, t] * db
+            return (
+                u_vec,
+                W0_b.at[t].set(new_row),
+                z_b.at[t].set(zj),
+                dbeta.at[t].set(db),
+            ), None
+
+        (u_f, W0_blk, z_blk, dbeta), _ = jax.lax.scan(
+            inner,
+            (u0, W0_blk, jnp.zeros(kb), jnp.zeros(kb)),
+            jnp.arange(kb),
+        )
+        e_new = e - dbeta @ X_J
+        return (e_new, W0_c.at[J].set(W0_blk), z_c.at[J].set(z_blk)), None
 
     (e_f, W0_f, z_f), _ = jax.lax.scan(
-        body, (e0, W0, jnp.zeros(m_pad)), order
+        block_body, (e0, W0, jnp.zeros(m_pad)), blocks
     )
     return z_f, W0_f, e_f
 
