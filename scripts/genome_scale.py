@@ -54,6 +54,36 @@ def make_data(args):
     beta = np.zeros(m_tot, np.float32)
     beta[causal] = rng.standard_normal(ncausal)
     g = Xs @ beta
+    if args.epistasis > 0:
+        # VERDICT r3 #6: within-group pairwise interactions — the regime
+        # nonlinear branch MLPs (architectures.rs:31) exist for. A fraction
+        # ``--epistasis`` of the genetic variance comes from products of
+        # standardized causal-marker pairs drawn INSIDE the same branch
+        # (interactions never cross group boundaries, so a branch net can
+        # in principle represent its own group's term); the rest stays
+        # additive. Pair effects ~ N(0,1) on standardized products.
+        m = m_tot // args.branches
+        by_branch = {}
+        for j in causal:
+            by_branch.setdefault(j // m, []).append(j)
+        pairs = []
+        for js in by_branch.values():
+            js = np.asarray(js)
+            if js.size < 2:
+                continue
+            npairs = max(1, js.size // 2)
+            for _ in range(npairs):
+                a, b = rng.choice(js, 2, replace=False)
+                pairs.append((a, b))
+        if pairs:
+            P = np.stack([Xs[:, a] * Xs[:, b] for a, b in pairs], axis=1)
+            P = (P - P.mean(0)) / np.where(P.std(0) > 0, P.std(0), 1.0)
+            g_epi = P @ rng.standard_normal(len(pairs)).astype(np.float32)
+            add_sd = g.std() if g.std() > 0 else 1.0
+            epi_sd = g_epi.std() if g_epi.std() > 0 else 1.0
+            w_epi = np.sqrt(args.epistasis)
+            w_add = np.sqrt(1.0 - args.epistasis)
+            g = w_add * (g / add_sd) + w_epi * (g_epi / epi_sd)
     noise = rng.standard_normal(n) * np.sqrt(g.var() * (1 / args.h2 - 1))
     y = (g + noise).astype(np.float32)
     y = (y - y.mean()) / y.std()
@@ -86,6 +116,9 @@ def main(argv=None):
     ap.add_argument("--n-test", type=int, default=1600)
     ap.add_argument("--h2", type=float, default=0.6)
     ap.add_argument("--causal-frac", type=float, default=0.05)
+    ap.add_argument("--epistasis", type=float, default=0.0,
+                    help="fraction of genetic variance from within-group "
+                    "pairwise interaction terms (0 = purely additive)")
     ap.add_argument("--causal-branches", type=int, default=0,
                     help="confine causal markers to this many random "
                     "branches (0 = diffuse over all)")
@@ -165,10 +198,11 @@ def main(argv=None):
     if args.packed:
         import hashlib
 
+        epi = f":{args.epistasis}" if args.epistasis > 0 else ""
         key = hashlib.sha1(
             f"v2:{args.snps}:{args.branches}:{args.n_train}:{args.n_test}:"
             f"{args.h2}:{args.causal_frac}:{args.causal_branches}:"
-            f"{args.seed_truth}".encode()
+            f"{args.seed_truth}{epi}".encode()
         ).hexdigest()[:12]
         cache = Path(f"/tmp/gscache_{key}.npz")
 
@@ -204,6 +238,7 @@ def main(argv=None):
         "ss_markers": args.ss_markers,
         "ss_rows": args.ss_rows,
         "packed": args.packed,
+        "epistasis": args.epistasis,
         "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
         "causal_branches": args.causal_branches,

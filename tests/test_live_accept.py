@@ -148,3 +148,50 @@ def test_parallel_live_accept_matches_sequential_posterior():
     assert abs(m_par - m_seq) <= 3.0 * se + 0.05 * m_seq, (
         lam_seq, lam_par, lam_stale
     )
+
+@pytest.mark.slow
+def test_stale_proposal_acceptance_band():
+    """VERDICT r3 #8: pin the stale-trajectory/live-accept kernel's
+    acceptance at a flagship-like (scaled) shape. PARITY marks acceptance
+    'info' for the parallel rows (a different exact kernel legitimately
+    accepts differently), so without this band a proposal-quality
+    regression — e.g. a step-size bug halving acceptance — would pass every
+    other gate. Seeded; calibrated 0.415 (izmailov) / 0.445 (DA-tuned,
+    target 0.65, 30 adaptation sweeps) on the CPU mesh."""
+    import dataclasses
+
+    from rs_bann_tpu.models.arch import NetArch
+    from rs_bann_tpu.models.init import InitCfg, init_net
+    from rs_bann_tpu.models.net import Net
+
+    G, m, n, h, C, L = 16, 32, 512, 8, 2, 16
+    arch = NetArch.uniform(G, m, h, 1, h)
+    state, _ = init_net(arch, "ridge_base", InitCfg(seed=0))
+    net = Net("ridge_base", arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(0)
+    Xf = np.zeros((G, arch.m_pad, n), np.float32)
+    Xf[:, :m, :] = rng.standard_normal((G, m, n), dtype=np.float32)
+    X = D.FeatX(jnp.asarray(Xf))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    bands = {"izmailov": (0.30, 0.55), "dual_averaging": (0.30, 0.60)}
+    for mode, (lo, hi) in bands.items():
+        burn = 30 if mode == "dual_averaging" else 10**9
+        cfg = MCMCCfg(
+            chain_length=1, burn_in=burn, hmc_integration_length=L,
+            hmc_step_size_mode=mode, target_accept=0.65,
+            update_mode="parallel", num_chains=C, seed=0,
+        )
+        sweep = jax.jit(jax.vmap(net.make_sweep(cfg), in_axes=(0, None, None)))
+        keys = jax.random.split(jax.random.key(0), C)
+        carry = jax.vmap(lambda k: net.init_carry(X, y, k))(keys)
+        warm = 30 if mode == "dual_averaging" else 5
+        for _ in range(warm):
+            carry, stats = sweep(carry, X, y)
+        acc0 = np.asarray(stats.counts)[:, 0].sum()
+        for _ in range(30):
+            carry, stats = sweep(carry, X, y)
+        acc = (np.asarray(stats.counts)[:, 0].sum() - acc0) / (30 * C * G)
+        assert lo <= acc <= hi, (
+            f"{mode} acceptance {acc:.3f} outside [{lo}, {hi}] — "
+            "proposal quality regressed"
+        )
