@@ -177,6 +177,13 @@ def main(argv=None):
     ap.add_argument("--json-out", default=None, help="append result line here")
     args = ap.parse_args(argv)
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s [%(name)s] %(message)s",
+        stream=sys.stderr,
+    )
     if args.cpu:
         import jax
 
