@@ -172,6 +172,10 @@ def main(argv=None):
                     help="keep train genotypes 2-bit packed in HBM (fused "
                     "Pallas decode; 16x less device memory - the large-n "
                     "UKB-scale path)")
+    ap.add_argument("--feat-major", action="store_true",
+                    help="dense feature-major bf16 genotypes [G, m_pad, n] "
+                    "(8x the packed HBM footprint but no per-step 2-bit "
+                    "decode; fits to ~n=100k at 10k SNPs on 16 GB)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--outdir", default=None, help="keep run artifacts here")
     ap.add_argument("--json-out", default=None, help="append result line here")
@@ -245,6 +249,7 @@ def main(argv=None):
         "ss_markers": args.ss_markers,
         "ss_rows": args.ss_rows,
         "packed": args.packed,
+        "feat_major": args.feat_major,
         "epistasis": args.epistasis,
         "n_train": args.n_train,
         "traj_length_mode": args.traj_length_mode,
@@ -304,6 +309,12 @@ def main(argv=None):
         dtr = StackedData(
             PackedX(jnp.asarray(by), jnp.asarray(scale), jnp.asarray(shift), n_tr),
             jnp.asarray(y_tr),
+        )
+    elif args.feat_major:
+        import jax.numpy as jnp
+
+        dtr = stack_standardized(
+            arch, cols_tr, y_tr, dtype=jnp.bfloat16, feature_major=True
         )
     else:
         dtr = stack_standardized(arch, cols_tr, y_tr)

@@ -100,10 +100,28 @@ def battery_epistasis():
             "--hidden-width", "16", "--summary-width", "8"])
 
 
+def battery_prodpath():
+    # production-path alternatives at the n=100k genome shape: the 2-bit
+    # packed decode is VPU-bound (~0.5 ms/block-step modeled); dense bf16
+    # feature-major trades 8x HBM footprint (2.1 GB, fits) for no decode,
+    # and the 4-chain parallel variant engages the chain-folded trajectory
+    # kernel at genome scale.
+    P100 = ["--n-train", "100000", "--n-test", "4000",
+            "--causal-branches", "20", "--chain-length", "400",
+            "--step-size-mode", "dual_averaging", "--mass-adaptation"]
+    run("prod-packed-hybrid", P100 + [
+        "--packed", "--update-mode", "hybrid"])
+    run("prod-featmajor-hybrid", P100 + [
+        "--feat-major", "--update-mode", "hybrid"])
+    run("prod-featmajor-parallel-4chain", P100 + [
+        "--feat-major", "--update-mode", "parallel", "--num-chains", "4"])
+
+
 BATTERIES = {
     "ukbcombo": battery_ukbcombo,
     "consensus": battery_consensus,
     "epistasis": battery_epistasis,
+    "prodpath": battery_prodpath,
 }
 
 
