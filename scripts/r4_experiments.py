@@ -63,6 +63,37 @@ def battery_ukbcombo():
         "--ssm-warmup", "150"])
 
 
+def battery_ukbcombo2():
+    # follow-ups to ukb-ssm-finer-600 (r2 0.433 — finer x ssm over-pruned
+    # at pi=0.05/warmup=150: only 180 of 500 causal markers at PIP>0.5):
+    # r3's exact ssm settings on the finer geometry, and branch-SS x ssm
+    # stacking (the two selection levels compose; ss_markers needs
+    # identity/d0 and spike_slab owns the output layer).
+    run("ukb-ssm-finer-r3cfg", UKB + [
+        "--branches", "200", "--causal-branches", "40",
+        "--chain-length", "600", "--burn-in", "150",
+        "--ss-markers", "--ssm-fixed-pi", "--ssm-pi", "0.1",
+        "--ssm-warmup", "75"])
+    run("ukb-ssm-bss-finer", UKB + [
+        "--branches", "200", "--causal-branches", "40",
+        "--chain-length", "600", "--burn-in", "300",
+        "--spike-slab", "--ss-warmup", "150",
+        "--ss-markers", "--ssm-fixed-pi", "--ssm-pi", "0.1",
+        "--ssm-warmup", "75"])
+    # G=100: raise the inclusion prior (261/500 causal found at pi=0.05 —
+    # selection, not sampling length, binds) with r3's warmup/burn
+    run("ukb-ssm-pi01", UKB + [
+        "--causal-branches", "20",
+        "--chain-length", "600", "--burn-in", "150",
+        "--ss-markers", "--ssm-fixed-pi", "--ssm-pi", "0.1",
+        "--ssm-warmup", "75"])
+    # learned pi (beta-bernoulli) instead of fixed
+    run("ukb-ssm-learnpi", UKB + [
+        "--causal-branches", "20",
+        "--chain-length", "600", "--burn-in", "150",
+        "--ss-markers", "--ssm-pi", "0.1", "--ssm-warmup", "75"])
+
+
 def battery_consensus():
     run("ukb-ssm-finer-600-4chain", UKB + [
         "--branches", "200", "--causal-branches", "40",

@@ -103,8 +103,8 @@ def test_integrate_chains_matches_autodiff_leapfrog(act, l1):
 
 
 def _setup_net(model_type="ridge_base", act="tanh", G=4, m=8, h=4, n=256,
-               seed=0):
-    arch = NetArch.uniform(G, m, h, 1, h, activation=act)
+               seed=0, depth=1):
+    arch = NetArch.uniform(G, m, h, depth, h, activation=act)
     state, _ = init_net(arch, model_type, InitCfg(seed=seed))
     net = Net(model_type, arch, D.Hyperparameters(), state)
     rng = np.random.default_rng(seed)
@@ -116,19 +116,23 @@ def _setup_net(model_type="ridge_base", act="tanh", G=4, m=8, h=4, n=256,
 
 
 @pytest.mark.parametrize(
-    "model_type,mode,mass",
+    "model_type,mode,mass,act,depth",
     [
-        ("ridge_base", "izmailov", False),
-        ("ridge_ard", "dual_averaging", True),
-        ("lasso_base", "izmailov", False),
+        ("ridge_base", "izmailov", False, "tanh", 1),
+        ("ridge_ard", "dual_averaging", True, "tanh", 1),
+        ("lasso_base", "izmailov", False, "tanh", 1),
+        # the genome-scale production arch: identity depth-0 (2 weight
+        # layers — the kernel's empty-hidden-loop edge case)
+        ("ridge_ard", "dual_averaging", True, "identity", 0),
     ],
 )
-def test_chain_vmapped_sweep_matches_lax_map(model_type, mode, mass):
+def test_chain_vmapped_sweep_matches_lax_map(model_type, mode, mass, act,
+                                             depth):
     """The chain-folded dispatch must reproduce the per-chain arrangement
     draw-for-draw (same keys -> same momenta/step sizes; f32 interpret
     kernels -> only association-order roundoff differs)."""
     C = 2
-    net, X, y = _setup_net(model_type=model_type)
+    net, X, y = _setup_net(model_type=model_type, act=act, depth=depth)
     cfg = MCMCCfg(
         chain_length=1, burn_in=4 if mode == "dual_averaging" else 10**9,
         hmc_integration_length=4, hmc_step_size_mode=mode,
