@@ -150,6 +150,7 @@ def battery_prodpath():
 
 BATTERIES = {
     "ukbcombo": battery_ukbcombo,
+    "ukbcombo2": battery_ukbcombo2,
     "consensus": battery_consensus,
     "epistasis": battery_epistasis,
     "prodpath": battery_prodpath,
