@@ -51,170 +51,228 @@ from .branch_mlp import _act, _act_prime, _bd, _cast_for
 _TILE_N = 4096
 
 
-def _traj_kernel(act, n, L_steps, depth1, C, in_dtype, l1, *refs):
-    """Grid (G,). Ref layout (leading size-1 G block dim everywhere):
-      in:  x [1, m_pad, n], target [1, C, n], err [1, C, 1],
-           w_l [1, C*out, in] (hidden: transposed+chain-merged;
-                output layer [1, C*s, 1]),
-           b_l [1, C*out, 1] (hidden layers only),
+def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
+    """Grid (G // NB,). Ref layout (leading size-NB branch block dim):
+      in:  x [NB, m_pad, n], target [NB, C, n], err [NB, C, 1],
+           w_l [NB, C*out, in] (hidden: transposed+chain-merged;
+                output layer [NB, C*s, 1]),
+           b_l [NB, C*out, 1] (hidden layers only),
            p_w_l, p_b_l        (momenta, same shapes),
            eps_w_l, eps_b_l    (per-coordinate step sizes, same shapes),
            lam_w_l, lam_b_l    (prior precision factors, same shapes)
       out: w_l, b_l, p_w_l, p_b_l (same shapes)
+
+    NB > 1 packs several branches per instance with SEPARATE per-branch
+    dots interleaved layer-by-layer: the single-branch kernel is
+    LATENCY-bound on its ~7-dot dependency chain per leapfrog step, and
+    consecutive independent dots (different branches, same layer) pipeline
+    on the MXU.
     """
     L = depth1
     nw = L
-    nb = L - 1
+    nbias = L - 1
     x_ref, t_ref, e_ref = refs[0], refs[1], refs[2]
     i = 3
     w_refs = refs[i : i + nw]; i += nw
-    b_refs = refs[i : i + nb]; i += nb
+    b_refs = refs[i : i + nbias]; i += nbias
     pw_refs = refs[i : i + nw]; i += nw
-    pb_refs = refs[i : i + nb]; i += nb
+    pb_refs = refs[i : i + nbias]; i += nbias
     ew_refs = refs[i : i + nw]; i += nw
-    eb_refs = refs[i : i + nb]; i += nb
+    eb_refs = refs[i : i + nbias]; i += nbias
     lw_refs = refs[i : i + nw]; i += nw
-    lb_refs = refs[i : i + nb]; i += nb
+    lb_refs = refs[i : i + nbias]; i += nbias
     ow_refs = refs[i : i + nw]; i += nw
-    ob_refs = refs[i : i + nb]; i += nb
+    ob_refs = refs[i : i + nbias]; i += nbias
     opw_refs = refs[i : i + nw]; i += nw
-    opb_refs = refs[i : i + nb]; i += nb
+    opb_refs = refs[i : i + nbias]; i += nbias
 
     cast = _cast_for(in_dtype)
     tile = min(_TILE_N, -(-n // 128) * 128)
     n_tiles = -(-n // tile)
 
-    x_all = x_ref[0]          # [m_pad, n] — VMEM-resident all L steps
-    tgt = t_ref[0]            # [C, n]
-    err = e_ref[0]            # [C, 1]
-    eps_w = [ew_refs[l][0] for l in range(nw)]
-    eps_b = [eb_refs[l][0] for l in range(nb)]
-    lam_w = [lw_refs[l][0] for l in range(nw)]
-    lam_b = [lb_refs[l][0] for l in range(nb)]
+    xs_all = [x_ref[b] for b in range(NB)]   # [m_pad, n], VMEM all L steps
+    tgts = [t_ref[b] for b in range(NB)]     # [C, n]
+    errs = [e_ref[b] for b in range(NB)]     # [C, 1]
+    eps_w = [[ew_refs[l][b] for l in range(nw)] for b in range(NB)]
+    eps_b = [[eb_refs[l][b] for l in range(nbias)] for b in range(NB)]
+    lam_w = [[lw_refs[l][b] for l in range(nw)] for b in range(NB)]
+    lam_b = [[lb_refs[l][b] for l in range(nbias)] for b in range(NB)]
     cs = w_refs[L - 1].shape[1]       # C*s_pad
     s_pad = cs // C
-    # per-chain err broadcast to the merged [C*out, in] layouts
-    def errE(co, i_):
+
+    def errE(b, co, i_):
         o = co // C
         return jnp.broadcast_to(
-            err[:, :, None], (C, o, i_)
+            errs[b][:, :, None], (C, o, i_)
         ).reshape(co, i_)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
     def data_grad(ws, bs):
-        """d(rss/2)/d(w, b) per chain, summed over all n (tiled)."""
-        dws = [jnp.zeros(w.shape, jnp.float32) for w in ws]
-        dbs = [jnp.zeros(b.shape, jnp.float32) for b in bs]
+        """d(rss/2)/d(w, b) per (branch, chain), summed over n (tiled).
+        ``ws[b][l]`` lists; per-layer loops run all NB branches'
+        independent dots back-to-back for MXU pipelining."""
+        B = range(NB)
+        dws = [[jnp.zeros(w.shape, jnp.float32) for w in ws[b]] for b in B]
+        dbs = [[jnp.zeros(x.shape, jnp.float32) for x in bs[b]] for b in B]
         bds = [
-            _bd(ws[l].reshape(C, ws[l].shape[0] // C, ws[l].shape[1]), C)
-            for l in range(1, L - 1)
+            [
+                cast(_bd(
+                    ws[b][l].reshape(C, ws[b][l].shape[0] // C,
+                                     ws[b][l].shape[1]), C
+                ))
+                for l in range(1, L - 1)
+            ]
+            for b in B
         ]
-        bds = [cast(bd) for bd in bds]
-        w0c = cast(ws[0])
-        w_out = ws[L - 1]  # [C*s, 1]
+        w0c = [cast(ws[b][0]) for b in B]
+        w_out = [ws[b][L - 1] for b in B]  # [C*s, 1]
         for t in range(n_tiles):
             sl = slice(t * tile, (t + 1) * tile)
             valid = (t * tile + lane) < n
-            x = cast(jnp.where(valid, x_all[:, sl], 0.0))  # [m_pad, TN]
-            z = jax.lax.dot_general(
-                w0c, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bs[0]
-            zs, acts = [z], [_act(act, z)]
-            for l in range(1, L - 1):
-                z = jax.lax.dot_general(
-                    bds[l - 1], cast(acts[-1]), (((1,), (0,)), ((), ())),
+            x = [cast(jnp.where(valid, xs_all[b][:, sl], 0.0)) for b in B]
+            z = [
+                jax.lax.dot_general(
+                    w0c[b], x[b], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + bs[l]
-                zs.append(z)
-                acts.append(_act(act, z))
-            contrib = w_out * acts[-1]                     # [C*s, TN]
-            pred = jnp.sum(contrib.reshape(C, s_pad, tile), axis=1)
-            e_t = jnp.where(valid, pred - tgt[:, sl], 0.0)  # [C, TN]
-            eE = jnp.broadcast_to(
-                e_t[:, None, :], (C, s_pad, tile)
-            ).reshape(cs, tile)
-            dws[L - 1] = dws[L - 1] + jnp.sum(
-                acts[-1] * eE, axis=1, keepdims=True
-            )
-            da = w_out * eE
+                ) + bs[b][0]
+                for b in B
+            ]
+            zs = [[z[b]] for b in B]
+            acts = [[_act(act, z[b])] for b in B]
+            for l in range(1, L - 1):
+                z = [
+                    jax.lax.dot_general(
+                        bds[b][l - 1], cast(acts[b][-1]),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + bs[b][l]
+                    for b in B
+                ]
+                for b in B:
+                    zs[b].append(z[b])
+                    acts[b].append(_act(act, z[b]))
+            e_t = []
+            for b in B:
+                contrib = w_out[b] * acts[b][-1]             # [C*s, TN]
+                pred = jnp.sum(contrib.reshape(C, s_pad, tile), axis=1)
+                e_t.append(jnp.where(valid, pred - tgts[b][:, sl], 0.0))
+            eE = [
+                jnp.broadcast_to(
+                    e_t[b][:, None, :], (C, s_pad, tile)
+                ).reshape(cs, tile)
+                for b in B
+            ]
+            for b in B:
+                dws[b][L - 1] = dws[b][L - 1] + jnp.sum(
+                    acts[b][-1] * eE[b], axis=1, keepdims=True
+                )
+            da = [w_out[b] * eE[b] for b in B]
             for l in range(L - 2, 0, -1):
-                co, i_ = ws[l].shape
+                co, i_ = ws[0][l].shape
                 o = co // C
-                dz = da * _act_prime(act, zs[l], acts[l])
-                dbs[l] = dbs[l] + jnp.sum(dz, axis=1, keepdims=True)
+                dz = [
+                    da[b] * _act_prime(act, zs[b][l], acts[b][l]) for b in B
+                ]
+                for b in B:
+                    dbs[b][l] = dbs[b][l] + jnp.sum(
+                        dz[b], axis=1, keepdims=True
+                    )
                 # per-chain dW dots on sublane-aligned slices (lane-offset
                 # slicing and scatter-add both fail Mosaic lowering; this
-                # form also skips the C x cross-block waste of a block-diag
-                # dW dot)
-                dzc = cast(dz)
-                ac = cast(acts[l - 1])
-                dws[l] = dws[l] + jnp.concatenate(
-                    [
-                        jax.lax.dot_general(
-                            dzc[c * o : (c + 1) * o, :],
-                            ac[c * i_ : (c + 1) * i_, :],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        for c in range(C)
-                    ],
-                    axis=0,
-                )
-                da = jax.lax.dot_general(
-                    bds[l - 1], dzc, (((0,), (0,)), ((), ())),
+                # also skips block-diag cross waste) — all NB*C dots are
+                # independent
+                dzc = [cast(dz[b]) for b in B]
+                ac = [cast(acts[b][l - 1]) for b in B]
+                for b in B:
+                    dws[b][l] = dws[b][l] + jnp.concatenate(
+                        [
+                            jax.lax.dot_general(
+                                dzc[b][c * o : (c + 1) * o, :],
+                                ac[b][c * i_ : (c + 1) * i_, :],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for c in range(C)
+                        ],
+                        axis=0,
+                    )
+                da = [
+                    jax.lax.dot_general(
+                        bds[b][l - 1], dzc[b], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for b in B
+                ]
+            dz = [da[b] * _act_prime(act, zs[b][0], acts[b][0]) for b in B]
+            for b in B:
+                dbs[b][0] = dbs[b][0] + jnp.sum(dz[b], axis=1, keepdims=True)
+            for b in B:
+                dws[b][0] = dws[b][0] + jax.lax.dot_general(
+                    cast(dz[b]), x[b], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            dz = da * _act_prime(act, zs[0], acts[0])
-            dbs[0] = dbs[0] + jnp.sum(dz, axis=1, keepdims=True)
-            dws[0] = dws[0] + jax.lax.dot_general(
-                cast(dz), x, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
         return dws, dbs
 
     def ld_grad(ws, bs):
         """∇ of the branch marginal log density (prior − err·rss/2)."""
         dws, dbs = data_grad(ws, bs)
-        pw_ = [
-            (-lam_w[l] * (jnp.sign(ws[l]) if l1 else ws[l]))
-            - errE(*ws[l].shape) * dws[l]
-            for l in range(nw)
+        gw = [
+            [
+                (-lam_w[b][l] * (jnp.sign(ws[b][l]) if l1 else ws[b][l]))
+                - errE(b, *ws[b][l].shape) * dws[b][l]
+                for l in range(nw)
+            ]
+            for b in range(NB)
         ]
-        pb_ = [
-            (-lam_b[l] * (jnp.sign(bs[l]) if l1 else bs[l]))
-            - errE(*bs[l].shape) * dbs[l]
-            for l in range(nb)
+        gb = [
+            [
+                (-lam_b[b][l] * (jnp.sign(bs[b][l]) if l1 else bs[b][l]))
+                - errE(b, *bs[b][l].shape) * dbs[b][l]
+                for l in range(nbias)
+            ]
+            for b in range(NB)
         ]
-        return pw_, pb_
+        return gw, gb
 
-    ws0 = [w_refs[l][0].astype(jnp.float32) for l in range(nw)]
-    bs0 = [b_refs[l][0].astype(jnp.float32) for l in range(nb)]
-    pws0 = [pw_refs[l][0].astype(jnp.float32) for l in range(nw)]
-    pbs0 = [pb_refs[l][0].astype(jnp.float32) for l in range(nb)]
+    ws0 = [[w_refs[l][b].astype(jnp.float32) for l in range(nw)]
+           for b in range(NB)]
+    bs0 = [[b_refs[l][b].astype(jnp.float32) for l in range(nbias)]
+           for b in range(NB)]
+    pws0 = [[pw_refs[l][b].astype(jnp.float32) for l in range(nw)]
+            for b in range(NB)]
+    pbs0 = [[pb_refs[l][b].astype(jnp.float32) for l in range(nbias)]
+            for b in range(NB)]
     gws0, gbs0 = ld_grad(ws0, bs0)
+
+    def upd(xs, es, gs, frac):
+        return [
+            [x + frac * e * g for x, e, g in zip(xs[b], es[b], gs[b])]
+            for b in range(NB)
+        ]
 
     def step(_, carry):
         ws, bs, pws, pbs, gws, gbs = carry
-        pws = [p + 0.5 * e * g for p, e, g in zip(pws, eps_w, gws)]
-        pbs = [p + 0.5 * e * g for p, e, g in zip(pbs, eps_b, gbs)]
-        ws = [w + e * p for w, e, p in zip(ws, eps_w, pws)]
-        bs = [b + e * p for b, e, p in zip(bs, eps_b, pbs)]
+        pws = upd(pws, eps_w, gws, 0.5)
+        pbs = upd(pbs, eps_b, gbs, 0.5)
+        ws = upd(ws, eps_w, pws, 1.0)
+        bs = upd(bs, eps_b, pbs, 1.0)
         gws, gbs = ld_grad(ws, bs)
-        pws = [p + 0.5 * e * g for p, e, g in zip(pws, eps_w, gws)]
-        pbs = [p + 0.5 * e * g for p, e, g in zip(pbs, eps_b, gbs)]
+        pws = upd(pws, eps_w, gws, 0.5)
+        pbs = upd(pbs, eps_b, gbs, 0.5)
         return (ws, bs, pws, pbs, gws, gbs)
 
     ws, bs, pws, pbs, _, _ = jax.lax.fori_loop(
         0, L_steps, step, (ws0, bs0, pws0, pbs0, gws0, gbs0)
     )
     for l in range(nw):
-        ow_refs[l][0, :, :] = ws[l]
-        opw_refs[l][0, :, :] = pws[l]
-    for l in range(nb):
-        ob_refs[l][0, :, :] = bs[l]
-        opb_refs[l][0, :, :] = pbs[l]
+        for b in range(NB):
+            ow_refs[l][b, :, :] = ws[b][l]
+            opw_refs[l][b, :, :] = pws[b][l]
+    for l in range(nbias):
+        for b in range(NB):
+            ob_refs[l][b, :, :] = bs[b][l]
+            opb_refs[l][b, :, :] = pbs[b][l]
 
 
 def _merge_wt(w):  # [G, C, in, out] -> [G, C*out, in]
@@ -227,13 +285,34 @@ def _unmerge_wt(m, like):  # [G, C*out, in] -> [G, C, in, out]
     return jnp.swapaxes(m.reshape(G, C, o, i), 2, 3)
 
 
+# branches per pallas instance: the single-branch kernel is latency-bound
+# on its per-step dot dependency chain, and NB independent branches' dots
+# interleave layer-by-layer. VMEM per instance scales with NB (X + four
+# [C*out, tile] activation/backprop arrays per branch) — 2 is safe
+# everywhere the flagship-class shapes go; set 1 to disable.
+NB_DEFAULT = 2
+
+
+def _pick_nb_traj(G, m_pad, n, C, out_max):
+    nb = NB_DEFAULT
+    while nb > 1 and G % nb:
+        nb -= 1
+    # VMEM guard: X blocks + ~6 working arrays of [C*out_max, tile] f32
+    tile = min(_TILE_N, -(-n // 128) * 128)
+    per_branch = m_pad * n * 2 + 6 * C * out_max * tile * 4
+    while nb > 1 and nb * per_branch > 96 * 2**20:
+        nb -= 1
+    return nb
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "L_steps", "interpret", "in_dtype", "l1", "C"),
+    static_argnames=("act", "L_steps", "interpret", "in_dtype", "l1", "C",
+                     "nb"),
 )
 def _traj_chains_impl(
     xT, targets, err, weights, biases, p_w, p_b, eps_w, eps_b, lam_w, lam_b,
-    act, L_steps, interpret, in_dtype, l1, C,
+    act, L_steps, interpret, in_dtype, l1, C, nb,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -256,7 +335,7 @@ def _traj_chains_impl(
     )
 
     const3 = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        (nb,) + shape, lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
     operands = (
         [xT, targets, em3]
@@ -269,11 +348,11 @@ def _traj_chains_impl(
     out_specs = [const3(a.shape[1:]) for a in out_arrs]
 
     kern = functools.partial(
-        _traj_kernel, act, n, L_steps, L, C, in_dtype, l1
+        _traj_kernel, act, n, L_steps, L, C, nb, in_dtype, l1
     )
     res = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(G // nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -309,9 +388,13 @@ def integrate_chains(
     """
     in_dtype = None if interpret else "bfloat16"
     C = targets.shape[1]
+    G, m_pad, n = xT.shape
+    out_max = max(w.shape[-1] for w in weights[:-1]) if len(weights) > 1 \
+        else weights[0].shape[-1]
+    nb = _pick_nb_traj(G, m_pad, n, C, max(out_max, 8))
     return _traj_chains_impl(
         xT, targets, jnp.asarray(err, jnp.float32), tuple(weights),
         tuple(biases), tuple(p_w), tuple(p_b), tuple(eps_w), tuple(eps_b),
         tuple(lam_w), tuple(lam_b), act_name, int(L_steps), interpret,
-        in_dtype, bool(l1), C,
+        in_dtype, bool(l1), C, nb,
     )
