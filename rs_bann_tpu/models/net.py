@@ -679,9 +679,16 @@ def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
     lengths, a supported activation, and a TPU (or forced-interpret)
     backend. Callers use this to pick vmap over ``lax.map`` for the chain
     axis — vmap without the fold is 3-5x SLOWER (scripts/exp_chainfold.py),
-    so the arrangement must follow the dispatch."""
+    so the arrangement must follow the dispatch.
+
+    Kill switch: RS_BANN_FOLD=off (mirrors RS_BANN_FUSED for the per-step
+    kernels) — callers then keep the per-chain lax.map arrangement."""
+    import os
+
     from ..ops import branch_mlp
 
+    if os.environ.get("RS_BANN_FOLD", "").lower() in ("0", "off", "false"):
+        return False
     return (
         isinstance(X, D.FeatX)
         and cfg.update_mode == "parallel"
