@@ -916,6 +916,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             lam_out = _gibbs_output_precision(
                 k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
             )
+            # zero included output weights (total branch exclusion) would
+            # make this a pure Gamma(0.001) prior draw — 0-or-huge, which
+            # flattens the spike-and-slab evidence and makes exclusion
+            # absorbing (measured NaN collapse, UKB finer x bss). Skipping
+            # the update keeps the kernel valid and the state recoverable.
+            lam_out = jnp.where(
+                n_out_gibbs > 0, lam_out, wp[L - 1].reshape(-1)[0]
+            )
             wp = tuple(
                 jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
                 for l in range(L)
@@ -1363,6 +1371,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             lam_out = _gibbs_output_precision(
                 k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
             )
+            # zero included output weights (total branch exclusion) would
+            # make this a pure Gamma(0.001) prior draw — 0-or-huge, which
+            # flattens the spike-and-slab evidence and makes exclusion
+            # absorbing (measured NaN collapse, UKB finer x bss). Skipping
+            # the update keeps the kernel valid and the state recoverable.
+            lam_out = jnp.where(
+                n_out_gibbs > 0, lam_out, wp[L - 1].reshape(-1)[0]
+            )
             wp = tuple(
                 jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
                 for l in range(L)
@@ -1747,6 +1763,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 )
                 lam_out = _gibbs_output_precision(
                     k_out, model_type, _reg_all(model_type, params), n_out_gibbs, hyper
+                )
+                # see the parallel path: keep the previous shared precision
+                # when no output weights are included
+                lam_out = jnp.where(
+                    n_out_gibbs > 0, lam_out, wp[L - 1].reshape(-1)[0]
                 )
                 wp = tuple(
                     jnp.full_like(wp[l], lam_out) if l == L - 1 else wp[l]
