@@ -288,13 +288,17 @@ def _unmerge_wt(m, like):  # [G, C*out, in] -> [G, C, in, out]
 # branches per pallas instance: the single-branch kernel is latency-bound
 # on its per-step dot dependency chain, and NB independent branches' dots
 # interleave layer-by-layer. VMEM per instance scales with NB (X + four
-# [C*out, tile] activation/backprop arrays per branch) — 2 is safe
-# everywhere the flagship-class shapes go; set 1 to disable.
-NB_DEFAULT = 2
+# [C*out, tile] activation/backprop arrays per branch). Default 1 = the
+# TPU-measured configuration (651k steps/s flagship); NB=2 passes the
+# interpret-mode exactness tests and awaits an on-chip measurement
+# (override with RS_BANN_TRAJ_NB).
+NB_DEFAULT = 1
 
 
 def _pick_nb_traj(G, m_pad, n, C, out_max):
-    nb = NB_DEFAULT
+    import os
+
+    nb = int(os.environ.get("RS_BANN_TRAJ_NB", NB_DEFAULT))
     while nb > 1 and G % nb:
         nb -= 1
     # VMEM guard: X blocks + ~6 working arrays of [C*out_max, tile] f32
