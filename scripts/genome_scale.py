@@ -240,6 +240,9 @@ def main(argv=None):
         "oracle_r2": round(oracle, 3),
         "model": args.model,
         "activation": args.activation,
+        "depth": args.depth,
+        "hidden_width": args.hidden_width,
+        "summary_width": args.summary_width,
         "update_mode": args.update_mode,
         "block_size": args.block_size,
         "chain_length": args.chain_length,
