@@ -301,10 +301,13 @@ def _pick_nb_traj(G, m_pad, n, C, out_max):
     nb = int(os.environ.get("RS_BANN_TRAJ_NB", NB_DEFAULT))
     while nb > 1 and G % nb:
         nb -= 1
-    # VMEM guard: X blocks + ~6 working arrays of [C*out_max, tile] f32
+    # scoped-VMEM guard: Mosaic's kernel value stack is limited to 16 MB
+    # (measured: flagship C=4/h=32/tile=4096 at nb=2 exceeds it by 112 KB;
+    # the genome shape C=4/s=8 at nb=2 fits and runs on chip). ~6 live
+    # [C*out, tile] f32 working arrays per branch.
     tile = min(_TILE_N, -(-n // 128) * 128)
-    per_branch = m_pad * n * 2 + 6 * C * out_max * tile * 4
-    while nb > 1 and nb * per_branch > 96 * 2**20:
+    per_branch = 6 * C * max(out_max, 8) * tile * 4
+    while nb > 1 and nb * per_branch > 14 * 2**20:
         nb -= 1
     return nb
 

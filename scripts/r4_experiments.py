@@ -95,11 +95,12 @@ def battery_ukbcombo2():
 
 
 def battery_consensus():
-    run("ukb-ssm-finer-600-4chain", UKB + [
-        "--branches", "200", "--causal-branches", "40",
-        "--chain-length", "600", "--burn-in", "300", "--num-chains", "4",
-        "--ss-markers", "--ssm-fixed-pi", "--ssm-pi", "0.05",
-        "--ssm-warmup", "150"])
+    # multi-chain consensus on the winning 0.556 config (ukb-ssm-pi01)
+    run("ukb-ssm-pi01-4chain", UKB + [
+        "--causal-branches", "20",
+        "--chain-length", "600", "--burn-in", "150", "--num-chains", "4",
+        "--ss-markers", "--ssm-fixed-pi", "--ssm-pi", "0.1",
+        "--ssm-warmup", "75"])
 
 
 def battery_epistasis():
