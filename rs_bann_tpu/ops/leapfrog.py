@@ -106,12 +106,14 @@ def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
             errs[b][:, :, None], (C, o, i_)
         ).reshape(co, i_)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-
     def data_grad(ws, bs):
         """d(rss/2)/d(w, b) per (branch, chain), summed over n (tiled).
         ``ws[b][l]`` lists; per-layer loops run all NB branches'
-        independent dots back-to-back for MXU pipelining."""
+        independent dots back-to-back for MXU pipelining. Tiles use EXACT
+        widths (the last tile may be short) — the x/target blocks are
+        whole-n, so every slice is real data and no lane masking is
+        needed (a fixed-width mask against a clipped slice was the r4
+        n % tile != 0 shape bug)."""
         B = range(NB)
         dws = [[jnp.zeros(w.shape, jnp.float32) for w in ws[b]] for b in B]
         dbs = [[jnp.zeros(x.shape, jnp.float32) for x in bs[b]] for b in B]
@@ -128,9 +130,9 @@ def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
         w0c = [cast(ws[b][0]) for b in B]
         w_out = [ws[b][L - 1] for b in B]  # [C*s, 1]
         for t in range(n_tiles):
-            sl = slice(t * tile, (t + 1) * tile)
-            valid = (t * tile + lane) < n
-            x = [cast(jnp.where(valid, xs_all[b][:, sl], 0.0)) for b in B]
+            w_t = min(tile, n - t * tile)
+            sl = slice(t * tile, t * tile + w_t)
+            x = [cast(xs_all[b][:, sl]) for b in B]
             z = [
                 jax.lax.dot_general(
                     w0c[b], x[b], (((1,), (0,)), ((), ())),
@@ -154,13 +156,13 @@ def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
                     acts[b].append(_act(act, z[b]))
             e_t = []
             for b in B:
-                contrib = w_out[b] * acts[b][-1]             # [C*s, TN]
-                pred = jnp.sum(contrib.reshape(C, s_pad, tile), axis=1)
-                e_t.append(jnp.where(valid, pred - tgts[b][:, sl], 0.0))
+                contrib = w_out[b] * acts[b][-1]             # [C*s, w_t]
+                pred = jnp.sum(contrib.reshape(C, s_pad, w_t), axis=1)
+                e_t.append(pred - tgts[b][:, sl])
             eE = [
                 jnp.broadcast_to(
-                    e_t[b][:, None, :], (C, s_pad, tile)
-                ).reshape(cs, tile)
+                    e_t[b][:, None, :], (C, s_pad, w_t)
+                ).reshape(cs, w_t)
                 for b in B
             ]
             for b in B:

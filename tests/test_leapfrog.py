@@ -28,10 +28,19 @@ def _interpret():
     bm.FORCE = None
 
 
-@pytest.mark.parametrize("act,l1", [("tanh", False), ("identity", True)])
-def test_integrate_chains_matches_autodiff_leapfrog(act, l1):
+@pytest.mark.parametrize(
+    "act,l1,n",
+    [
+        ("tanh", False, 384),
+        # n neither 128-aligned nor tile-aligned: pins the exact-width
+        # tiling (a fixed-width lane mask against a clipped slice was an
+        # r4 shape bug for every n % tile != 0)
+        ("identity", True, 333),
+    ],
+)
+def test_integrate_chains_matches_autodiff_leapfrog(act, l1, n):
     rng = np.random.default_rng(0)
-    G, C, m, h, s, n, L_steps = 2, 3, 16, 8, 8, 384, 5
+    G, C, m, h, s, L_steps = 2, 3, 16, 8, 8, 5
     widths = [(m, h), (h, s), (s, 1)]
     mk = lambda sc: tuple(
         jnp.asarray(rng.standard_normal((G, C, i, o)).astype(np.float32)) * sc
