@@ -250,7 +250,14 @@ def _marker_ss_scan(
         composing with the Laplace-gradient HMC afterwards is valid.
 
     ``x_g`` is dense [n, m_pad] or a PackedX slice (columns decode on the
-    fly). ``resid0`` is the branch's residual y − bias − Σ_g' pred_g' at
+    fly). Note (ADVICE r4): since the blocked rewrite, the packed path's
+    q_a uses the data-computed Gram diagonal gram[t,t] = x_jᵀx_j — the
+    pre-r4 packed code pinned sxx to exactly n for standardized columns.
+    gram[t,t] is the true sum of squares (the dense path always used it),
+    so this is the correct kernel, but packed-path draws for a given seed
+    differ from r3 runs; the sequential-replica exactness test covers both
+    dense AND packed x_g. ``resid0`` is the branch's residual
+    y − bias − Σ_g' pred_g' at
     the CURRENT params (callers already hold it — the scan starts from it
     instead of re-running the branch forward pass). Returns
     (z [m_pad], W0_new, e_final) with e_final the live residual at the
@@ -682,15 +689,19 @@ def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
     so the arrangement must follow the dispatch.
 
     Kill switch: RS_BANN_FOLD=off (mirrors RS_BANN_FUSED for the per-step
-    kernels) — callers then keep the per-chain lax.map arrangement."""
-    import os
+    kernels) — honored both here and inside the custom_vmap chain rule
+    (ops/leapfrog.fold_enabled), so sharded/caller-vmapped sweeps obey it
+    too (ADVICE r4). An X block too large for the kernel's VMEM budget
+    (ops/leapfrog.x_fits_vmem) also disqualifies — the in_specs declare the
+    whole [m_pad, n] per instance, so oversized shapes would pass and then
+    fail Mosaic compilation at runtime (ADVICE r4)."""
+    from ..ops import branch_mlp, leapfrog
 
-    from ..ops import branch_mlp
-
-    if os.environ.get("RS_BANN_FOLD", "").lower() in ("0", "off", "false"):
+    if not leapfrog.fold_enabled():
         return False
     return (
         isinstance(X, D.FeatX)
+        and leapfrog.x_fits_vmem(X.xT.shape[-2], X.xT.shape[-1])
         and cfg.update_mode == "parallel"
         and cfg.live_accept
         and not (cfg.joint_hmc or cfg.gradient_descent

@@ -287,6 +287,36 @@ def _unmerge_wt(m, like):  # [G, C*out, in] -> [G, C, in, out]
     return jnp.swapaxes(m.reshape(G, C, o, i), 2, 3)
 
 
+def fold_enabled() -> bool:
+    """RS_BANN_FOLD=off kill switch for the whole-trajectory kernels.
+
+    Consulted by models/net.chain_fold_eligible AND by the custom_vmap
+    chain rule in samplers/hmc.make_transition_batch (ADVICE r4: the
+    sharded sweep always chain-vmaps, so the rule itself must honor the
+    switch or mesh runs would keep the folded kernel with the switch off).
+    """
+    import os
+
+    return os.environ.get("RS_BANN_FOLD", "").lower() not in (
+        "0", "off", "false",
+    )
+
+
+# VMEM budget for the trajectory kernel's resident X block (ADVICE r4): the
+# in_specs declare the whole [m_pad, n] xT per branch instance, so an
+# oversized dense config would pass eligibility and then fail Mosaic
+# compilation at runtime. ~16 MB VMEM/core minus ~6 MB of working arrays
+# (activations/backprop tiles at _TILE_N) leaves ~10 MB for X + targets.
+_X_VMEM_BUDGET = 9 * 2**20
+
+
+def x_fits_vmem(m_pad: int, n: int, C: int = 1, itemsize: int = 2) -> bool:
+    """True when one branch's resident X block (+ per-chain targets) fits
+    the trajectory kernel's VMEM budget. ``itemsize`` 2 = bf16 storage."""
+    m_sub = -(-m_pad // 16) * 16  # bf16 sublane-tile padding
+    return m_sub * n * itemsize + C * n * 4 <= _X_VMEM_BUDGET
+
+
 # branches per pallas instance: the single-branch kernel is latency-bound
 # on its per-step dot dependency chain, and NB independent branches' dots
 # interleave layer-by-layer. VMEM per instance scales with NB (X + four

@@ -971,7 +971,11 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
         flat = lambda t: jax.tree.leaves(t)
         foldable = (
             lean_ok
+            and leapfrog.fold_enabled()
             and isinstance(x, D.FeatX)
+            and leapfrog.x_fits_vmem(
+                x.xT.shape[-2], x.xT.shape[-1], targets.shape[0]
+            )
             and not any(flat(xb))                      # x shared over chains
             and not any(flat(mwb)) and not any(flat(mbb))
             and not any(flat(npb))

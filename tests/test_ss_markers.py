@@ -267,15 +267,34 @@ def test_lasso_ssm_identifies_causal_markers(tmp_path):
     assert r2 > 0.35, r2
 
 
-def test_blocked_scan_matches_sequential_replica():
+@pytest.mark.parametrize("packed", [False, True])
+def test_blocked_scan_matches_sequential_replica(packed):
     """The blocked coefficient-space execution (16-marker blocks, Gram
     updates, residual per block — VERDICT r3 #4) must equal the plain
     marker-by-marker rank-1 scan draw-for-draw: same permutation, same
     per-marker fold_in keys, so a sequential replica of the collapsed move
-    reproduces the exact draws; only float association differs."""
+    reproduces the exact draws; only float association differs.
+
+    The packed case pins the ADVICE-r4 note: the packed path's q_a uses the
+    data-computed Gram diagonal (true x_jᵀx_j of the standardized decoded
+    column), matching the dense path — NOT the pre-r4 pinned sxx = n."""
     rng = np.random.default_rng(7)
     n, m_pad, s = 300, 24, 4  # 3 blocks of kb=8
-    x = rng.standard_normal((n, m_pad)).astype(np.float32)
+    if packed:
+        from rs_bann_tpu.models.density import PackedX
+        from rs_bann_tpu.ops.packed_matmul import pack_strided
+
+        vals = rng.integers(0, 3, size=(m_pad, n)).astype(np.float32)
+        mu = vals.mean(axis=1)
+        sd = vals.std(axis=1)
+        scale = (1.0 / sd).astype(np.float32)
+        x = ((vals - mu[:, None]) * scale[:, None]).T.astype(np.float32)
+        x_in = PackedX(
+            jnp.asarray(pack_strided(vals)), jnp.asarray(scale),
+            jnp.asarray(mu.astype(np.float32)), n,
+        )
+    else:
+        x = rng.standard_normal((n, m_pad)).astype(np.float32)
     W0 = (rng.standard_normal((m_pad, s)) * 0.3).astype(np.float32)
     b0 = np.zeros(s, np.float32)
     w_out = rng.standard_normal((s, 1)).astype(np.float32)
@@ -287,9 +306,9 @@ def test_blocked_scan_matches_sequential_replica():
     key = jax.random.key(11)
 
     z_b, W0_b, e_b = _marker_ss_scan(
-        key, jnp.asarray(x), jnp.asarray(W0), jnp.asarray(b0),
-        jnp.asarray(w_out), jnp.asarray(resid0), lam_e, lam_rows, 0.4,
-        rm, cm, False,
+        key, x_in if packed else jnp.asarray(x), jnp.asarray(W0),
+        jnp.asarray(b0), jnp.asarray(w_out), jnp.asarray(resid0), lam_e,
+        lam_rows, 0.4, rm, cm, False,
     )
 
     # sequential replica (the pre-blocking algorithm), same key derivations
