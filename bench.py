@@ -479,34 +479,74 @@ def main():
         hmc_step_size_mode="dual_averaging", update_mode="hybrid",
         mass_adaptation=True, seed=0,
     )
-    psweep = jax.jit(pnet.make_sweep(pcfg))
-    pcarry = jax.jit(
-        lambda s, X_, y_, k: pnet.init_carry(
-            X_, y_, k, mass_adaptation=True, state=s
-        )
-    )(pnet.state, pdata.X, pdata.y, jax.random.key(0))
-    t0 = time.time()
-    pcarry, pstats = psweep(pcarry, pdata.X, pdata.y)
-    sync(pstats)
-    p_compile = time.time() - t0
-    log(f"packed compile+first sweep: {p_compile:.1f}s (X: {x_gb:.2f} GB HBM)")
-    p_sweeps = 3
-    p_box = {"c": pcarry}
+    from rs_bann_tpu.models.net import chain_fold_eligible
 
-    def run_packed():
-        c = p_box["c"]
-        for _ in range(p_sweeps):
-            c, s = psweep(c, pdata.X, pdata.y)
-        sync(s)
-        p_box["c"] = c
+    def bench_packed(tag, fold):
+        """One packed-hybrid measurement. ``fold=True`` uses the production
+        chain arrangement (1-chain vmap -> the r5 whole-trajectory packed
+        kernel through the custom_vmap rule, exactly what train.py picks
+        when chain_fold_eligible); ``fold=False`` pins the r4 per-step
+        fused-kernel path via the RS_BANN_FOLD kill switch."""
+        import os
 
-    p_med, p_min, p_max = _timed(run_packed)
-    p_steps_per_s = p_sweeps * pG * pL / p_med
-    log(
-        f"packed: {p_steps_per_s:,.0f} leapfrog steps/s "
-        f"({p_med/p_sweeps*1e3:.0f} ms/sweep median, "
-        f"[{p_min/p_sweeps*1e3:.0f}, {p_max/p_sweeps*1e3:.0f}])"
+        if not fold:
+            os.environ["RS_BANN_FOLD"] = "off"
+        try:
+            sweep1 = pnet.make_sweep(pcfg)
+            if fold:
+                assert chain_fold_eligible(
+                    "ridge_ard", "identity", pcfg, pdata.X
+                ), "packed bench shape must be fold-eligible"
+                psweep = jax.jit(jax.vmap(sweep1, in_axes=(0, None, None)))
+                pcarry = jax.vmap(
+                    lambda k: pnet.init_carry(
+                        pdata.X, pdata.y, k, mass_adaptation=True,
+                        state=pnet.state,
+                    )
+                )(jax.random.split(jax.random.key(0), 1))
+            else:
+                psweep = jax.jit(sweep1)
+                pcarry = jax.jit(
+                    lambda s, X_, y_, k: pnet.init_carry(
+                        X_, y_, k, mass_adaptation=True, state=s
+                    )
+                )(pnet.state, pdata.X, pdata.y, jax.random.key(0))
+            t0 = time.time()
+            pcarry, pstats = psweep(pcarry, pdata.X, pdata.y)
+            sync(pstats)
+            p_compile = time.time() - t0
+            log(f"packed[{tag}] compile+first sweep: {p_compile:.1f}s "
+                f"(X: {x_gb:.2f} GB HBM)")
+            p_sweeps = 3
+            p_box = {"c": pcarry}
+
+            def run_packed():
+                c = p_box["c"]
+                for _ in range(p_sweeps):
+                    c, s = psweep(c, pdata.X, pdata.y)
+                sync(s)
+                p_box["c"] = c
+
+            p_med, p_min, p_max = _timed(run_packed)
+            p_steps_per_s = p_sweeps * pG * pL / p_med
+            log(
+                f"packed[{tag}]: {p_steps_per_s:,.0f} leapfrog steps/s "
+                f"({p_med/p_sweeps*1e3:.0f} ms/sweep median, "
+                f"[{p_min/p_sweeps*1e3:.0f}, {p_max/p_sweeps*1e3:.0f}])"
+            )
+            return p_steps_per_s, p_med, p_min, p_max, p_compile, p_sweeps
+        finally:
+            if not fold:
+                del os.environ["RS_BANN_FOLD"]
+
+    # per-step first (the r4 series number), then the folded production path
+    ps_steps_per_s, ps_med, ps_min, ps_max, ps_compile, _ = bench_packed(
+        "per-step", fold=False
     )
+    p_steps_per_s, p_med, p_min, p_max, p_compile, p_sweeps = bench_packed(
+        "folded-trajectory", fold=True
+    )
+    log(f"packed fold speedup: {p_steps_per_s / ps_steps_per_s:.2f}x")
 
     print(
         json.dumps(
@@ -551,6 +591,9 @@ def main():
                 "chain-folded trajectory kernel.",
                 "packed": {
                     "shape": f"G={pG},m={pm_},n={pn},ridge_ard,identity,hybrid,L={pL}",
+                    # r5: the production arrangement now folds the whole
+                    # trajectory (bytes VMEM-resident); per_step_* keeps the
+                    # r4 series comparable
                     "leapfrog_steps_per_s": round(p_steps_per_s, 1),
                     "ms_per_sweep": round(p_med / p_sweeps * 1e3, 1),
                     "ms_per_sweep_spread": [
@@ -559,6 +602,9 @@ def main():
                     ],
                     "compile_s": round(p_compile, 1),
                     "x_hbm_gb": round(x_gb, 2),
+                    "per_step_leapfrog_steps_per_s": round(ps_steps_per_s, 1),
+                    "per_step_ms_per_sweep": round(ps_med / p_sweeps * 1e3, 1),
+                    "fold_speedup": round(p_steps_per_s / ps_steps_per_s, 2),
                 },
             }
         )

@@ -536,7 +536,7 @@ def _ssr_flip_scan(
 
 def _gibbs_local_precisions(
     key, model_type, w_g, b_g, statics_g, hyper, num_layers, z_rows0=None,
-    ssr=None,
+    ssr=None, lam_floor=0.0,
 ):
     """Per-branch Gibbs update of local weight+bias precisions.
 
@@ -607,10 +607,18 @@ def _gibbs_local_precisions(
                 lam = gibbs.ridge_precision_posterior(
                     keys[l], shape, scale, jnp.sum(w * w), nvar
                 ).reshape(1, 1)
+        if lam_floor > 0:
+            # divergence guard (mcmc_cfg.lam_row_floor): cut the scale-free
+            # slab feedback loop (huge w -> tiny lambda -> huger draws and
+            # infinite izmailov step sizes). max() is the identity for every
+            # healthy draw
+            lam = jnp.maximum(lam, lam_floor)
         new_wp.append(lam)
         bp = gibbs.ridge_precision_posterior(
             keys[L - 1 + l], shape, scale, jnp.sum(b_g[l] ** 2), statics_g.b_counts[l]
         ).reshape(1)
+        if lam_floor > 0:
+            bp = jnp.maximum(bp, lam_floor)
         new_bp.append(bp)
     if ssr is not None:
         return tuple(new_wp), tuple(new_bp), z_rows
@@ -682,27 +690,45 @@ def _update_output_bias(cfg, hyper, key, residual, bias, bias_prec, err_prec):
 def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
     """True when vmapping the sweep over chains engages the chain-folded
     whole-trajectory kernel (samplers/hmc.make_transition_batch): dense
-    feature-major X, parallel live-accept marginal HMC, fixed trajectory
-    lengths, a supported activation, and a TPU (or forced-interpret)
-    backend. Callers use this to pick vmap over ``lax.map`` for the chain
-    axis — vmap without the fold is 3-5x SLOWER (scripts/exp_chainfold.py),
-    so the arrangement must follow the dispatch.
+    feature-major OR 2-bit packed X, parallel/hybrid live-accept marginal
+    HMC, fixed trajectory lengths, a supported activation, and a TPU (or
+    forced-interpret) backend. Callers use this to pick vmap over
+    ``lax.map`` for the chain axis — vmap without the fold is 3-5x SLOWER
+    (scripts/exp_chainfold.py), so the arrangement must follow the dispatch.
+
+    The hybrid schedule folds only with ``cfg.hybrid_shared_perm`` (the
+    default): the custom_vmap rule needs the block genotype slice X[ixs]
+    unbatched over chains, so the per-sweep block permutation must be a
+    shared draw (sweep_hybrid's _shared_perm) rather than each chain's own.
 
     Kill switch: RS_BANN_FOLD=off (mirrors RS_BANN_FUSED for the per-step
     kernels) — honored both here and inside the custom_vmap chain rule
     (ops/leapfrog.fold_enabled), so sharded/caller-vmapped sweeps obey it
     too (ADVICE r4). An X block too large for the kernel's VMEM budget
-    (ops/leapfrog.x_fits_vmem) also disqualifies — the in_specs declare the
-    whole [m_pad, n] per instance, so oversized shapes would pass and then
-    fail Mosaic compilation at runtime (ADVICE r4)."""
+    (ops/leapfrog.x_fits_vmem / packed_fits_vmem) also disqualifies — the
+    in_specs declare the whole per-branch block resident, so oversized
+    shapes would pass and then fail Mosaic compilation at runtime
+    (ADVICE r4)."""
     from ..ops import branch_mlp, leapfrog
 
     if not leapfrog.fold_enabled():
         return False
-    return (
+    C = max(int(cfg.num_chains), 1)
+    x_ok = (
         isinstance(X, D.FeatX)
-        and leapfrog.x_fits_vmem(X.xT.shape[-2], X.xT.shape[-1])
-        and cfg.update_mode == "parallel"
+        and leapfrog.x_fits_vmem(X.xT.shape[-2], X.xT.shape[-1], C)
+    ) or (
+        isinstance(X, D.PackedX)
+        and leapfrog.packed_fits_vmem(
+            X.bytes.shape[-2], X.bytes.shape[-1], C
+        )
+    )
+    mode_ok = cfg.update_mode == "parallel" or (
+        cfg.update_mode == "hybrid" and cfg.hybrid_shared_perm
+    )
+    return (
+        x_ok
+        and mode_ok
         and cfg.live_accept
         and not (cfg.joint_hmc or cfg.gradient_descent
                  or cfg.gradient_descent_joint)
@@ -830,7 +856,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     # chain-folding interception (samplers/hmc.make_transition_batch): when
     # the caller vmaps the sweep over chains, the per-branch trajectories of
     # all chains integrate in ONE whole-trajectory Pallas kernel with X
-    # VMEM-resident (ops/leapfrog.py) instead of per-chain X streams
+    # VMEM-resident (ops/leapfrog.py) instead of per-chain X streams.
+    # Applies to the parallel schedule AND (r5) the hybrid schedule's block
+    # updates — the production packed+hybrid recipe's hot path.
     transition_batch = None
     if (
         not (cfg.gradient_descent or cfg.gradient_descent_joint
@@ -839,7 +867,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         and not cfg.trajectories
         and not (cfg.num_grad or cfg.num_grad_traj)
         and cfg.hmc_traj_length_mode == "fixed"
-        and cfg.update_mode == "parallel"
+        and cfg.update_mode in ("parallel", "hybrid")
     ):
         from ..samplers.hmc import make_transition_batch
 
@@ -873,6 +901,17 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     import math as _math
 
     da_mu = _math.log(10.0 * cfg.hmc_step_size_factor)
+    # divergence guard floors (mcmc_cfg lam_e_floor / lam_row_floor):
+    # identity for healthy draws, containment for the measured ssm
+    # lambda_e spiral (VERDICT r4 #2)
+    lam_e_floor = float(cfg.lam_e_floor)
+    lam_row_floor = float(cfg.lam_row_floor)
+
+    def _guard_err(err_prec, y):
+        if lam_e_floor <= 0:
+            return err_prec
+        return jnp.maximum(err_prec, lam_e_floor / (jnp.var(y) + 1e-30))
+
 
     def branch_update(carry: TrainCarry, g, X, y, statics, masks_w, masks_b):
         state, residual = carry.state, carry.residual
@@ -893,8 +932,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         bp = precisions.biases
 
         if gibbs_precisions:
-            err_prec = gibbs.error_precision_posterior(
-                k_e, hyper, residual, carry.beta if temper else None
+            err_prec = _guard_err(
+                gibbs.error_precision_posterior(
+                    k_e, hyper, residual, carry.beta if temper else None
+                ),
+                y,
             )
         # tempered likelihood L^β enters HMC and the bias draw as β·λ_e;
         # the stored λ_e and the LPD bookkeeping stay untempered
@@ -907,11 +949,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     ssr=(carry.ssm_pi, cfg.ssr_spike,
                          carry.da_t < float(cfg.ssr_warmup),
                          cfg.ssr_shape, cfg.ssr_scale),
+                    lam_floor=lam_row_floor,
                 )
             else:
                 new_wp_g, new_bp_g = _gibbs_local_precisions(
                     k_loc, model_type, w_g, b_g, st_g, hyper, L,
                     z_rows0=carry.ssm_z[g] if ssm_on else None,
+                    lam_floor=lam_row_floor,
                 )
             wp = tuple(
                 wp[l].at[g].set(new_wp_g[l]) if l < L - 1 else wp[l]
@@ -1328,8 +1372,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         if gibbs_precisions or joint:
             # in parallel-joint mode the shared scalars are frozen inside the
             # per-branch HMC and drawn here from their conjugate conditionals
-            err_prec = gibbs.error_precision_posterior(
-                k_e, hyper, carry.residual, carry.beta if temper else None
+            err_prec = _guard_err(
+                gibbs.error_precision_posterior(
+                    k_e, hyper, carry.residual, carry.beta if temper else None
+                ),
+                y,
             )
         err_hmc = err_prec * carry.beta if temper else err_prec
         if joint:
@@ -1352,6 +1399,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                         k, model_type, w_g, b_g, st_g, hyper, L,
                         ssr=(carry.ssm_pi, cfg.ssr_spike, ssr_force,
                              cfg.ssr_shape, cfg.ssr_scale),
+                        lam_floor=lam_row_floor,
                     )
 
                 new_wp, new_bp, z_r_all = jax.vmap(draw_local_ssr)(
@@ -1364,7 +1412,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
                 def draw_local(k, w_g, b_g, st_g, z0):
                     return _gibbs_local_precisions(
-                        k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
+                        k, model_type, w_g, b_g, st_g, hyper, L,
+                        z_rows0=z0, lam_floor=lam_row_floor,
                     )
 
                 new_wp, new_bp = jax.vmap(draw_local)(
@@ -1697,6 +1746,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         return carry, finish(carry, trajs)
 
     # ------------------------------------------------------------- hybrid
+    from jax.custom_batching import custom_vmap as _custom_vmap
+
+    @_custom_vmap
+    def _shared_perm(t):
+        k = jax.random.fold_in(
+            jax.random.key(cfg.seed ^ 0x5EED5EED), t.astype(jnp.int32)
+        )
+        return jax.random.permutation(k, G)
+
+    @_shared_perm.def_vmap
+    def _shared_perm_rule(axis_size, in_batched, t):
+        (tb,) = in_batched
+        # every chain's sweep counter is identical; evaluate once and mark
+        # the permutation unbatched so X[ixs] stays shared over chains
+        return _shared_perm(t[0] if tb else t), False
+
     def sweep_hybrid(carry: TrainCarry, X, y):
         """Sequential scan over random blocks; parallel updates within a
         block. Shared scalars (error precision, output precision, summary
@@ -1709,7 +1774,22 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
         R = G // B
         key, k_perm, k_pi, k_pim = jax.random.split(carry.key, 4)
         carry = carry._replace(key=key)
-        perm = jax.random.permutation(k_perm, G).reshape(R, B)
+        if cfg.hybrid_shared_perm:
+            # r5: the per-sweep block permutation is a SHARED draw, keyed on
+            # (cfg.seed, sweep counter) instead of the per-chain carry key.
+            # Under a chain vmap the custom_vmap rule marks it unbatched, so
+            # the block genotype slice X[ixs] stays shared over chains and
+            # the whole-trajectory chain-folded kernel can engage
+            # (chain_fold_eligible). Chains remain independent given the
+            # schedule — a common random scan order is the multi-chain
+            # analog of systematic-scan Gibbs (the reference shuffles a
+            # single chain's order, net.rs:257). Value-identical between
+            # vmapped and lax.map arrangements; draws differ from
+            # hybrid_shared_perm=False runs (the pre-r5 behavior).
+            perm = _shared_perm(carry.da_t)
+        else:
+            perm = jax.random.permutation(k_perm, G)
+        perm = perm.reshape(R, B)
 
         def block_update(c: TrainCarry, ixs):
             state, residual = c.state, c.residual
@@ -1720,8 +1800,11 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             err_prec = precisions.error
             wp, bp = precisions.weights, precisions.biases
             if gibbs_precisions or joint:
-                err_prec = gibbs.error_precision_posterior(
-                    k_e, hyper, residual, c.beta if temper else None
+                err_prec = _guard_err(
+                    gibbs.error_precision_posterior(
+                        k_e, hyper, residual, c.beta if temper else None
+                    ),
+                    y,
                 )
             err_hmc = err_prec * c.beta if temper else err_prec
             if joint:
@@ -1748,6 +1831,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                             k, model_type, w_g, b_g, st_g, hyper, L,
                             ssr=(c.ssm_pi, cfg.ssr_spike, ssr_force,
                                  cfg.ssr_shape, cfg.ssr_scale),
+                            lam_floor=lam_row_floor,
                         )
 
                     new_wp, new_bp, z_r_blk = jax.vmap(draw_local_ssr)(
@@ -1757,7 +1841,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
                     def draw_local(k, w_g, b_g, st_g, z0):
                         return _gibbs_local_precisions(
-                            k, model_type, w_g, b_g, st_g, hyper, L, z_rows0=z0
+                            k, model_type, w_g, b_g, st_g, hyper, L,
+                            z_rows0=z0, lam_floor=lam_row_floor,
                         )
 
                     new_wp, new_bp = jax.vmap(draw_local)(
@@ -1936,16 +2021,30 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                             model_type, mn, m2, cnt, wp_g, bp_g, w_g, b_g
                         )
                     )(c.mm_mean[ixs], c.mm_m2[ixs], wp_b, bp_b, w_b, b_b)
-                out = jax.vmap(one)(
-                    hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
-                    tuple(m[ixs] for m in masks_w),
-                    tuple(m[ixs] for m in masks_b),
-                    statics.n_params[ixs],
-                    step_factors,
-                    mass,
-                    traj_lens,
-                    z_m,
-                )
+                if transition_batch is not None:
+                    # chain-foldable dispatch (see sweep_parallel): under a
+                    # caller chain vmap the block's trajectories for ALL
+                    # chains integrate in one whole-trajectory kernel with
+                    # the block's X (dense or packed bytes) VMEM-resident
+                    m_w, m_b = mass if mass is not None else (None, None)
+                    out = transition_batch(
+                        hmc_keys, w_b, b_b, wp_b, bp_b, err_hmc, x_b,
+                        targets,
+                        tuple(m[ixs] for m in masks_w),
+                        tuple(m[ixs] for m in masks_b),
+                        statics.n_params[ixs], step_factors, m_w, m_b,
+                    )
+                else:
+                    out = jax.vmap(one)(
+                        hmc_keys, w_b, b_b, wp_b, bp_b, x_b, targets,
+                        tuple(m[ixs] for m in masks_w),
+                        tuple(m[ixs] for m in masks_b),
+                        statics.n_params[ixs],
+                        step_factors,
+                        mass,
+                        traj_lens,
+                        z_m,
+                    )
                 res, traj_blk = out if record_traj else (out, ())
                 if live_accept:
                     # block proposals accept sequentially against the live

@@ -412,6 +412,438 @@ def _traj_chains_impl(
     return w_f, b_f, pw_f, pb_f
 
 
+# ------------------------------------------- packed-genotype variant
+#
+# The production genome-scale recipe stores X as 2-bit packed bed bytes
+# (ops/packed_matmul.py group-strided layout) — 16x smaller than f32, 4x
+# smaller than the bf16 dense blocks above. The per-step fused packed kernel
+# (ops/branch_mlp._blocked_packed_kernel) still re-streams a branch's bytes
+# from HBM once per leapfrog step per chain, and its (G/NB, B/128) grid pays
+# a sequential grid-step latency per 512 individuals — the measured bound of
+# the hybrid sweep at n=100k (BENCH r4: stream-bound at 10.3k steps/s).
+# This kernel is the packed analog of _traj_kernel: one branch's bytes stay
+# VMEM-RESIDENT for the whole trajectory (all L steps x C chains), decoded
+# and standardized tile-by-tile in-kernel right before each MXU dot.
+#
+# Decode order: _kernel_decode_part(b, q) of a byte tile yields the q-th
+# 128-individual quarter of each 512-individual group — column (q, bytecol)
+# is individual (bytecol//128)*512 + q*128 + bytecol%128. Rather than
+# re-interleave in-kernel (a Mosaic relayout), the CALLER permutes the
+# targets into this part-major order once per call (_part_perm); every
+# reduction over individuals is order-invariant and the kernel returns only
+# (q, p) states, so nothing needs un-permuting.
+#
+# Standardization ((g - mu) * scale) is applied to the decoded tile directly
+# (two VPU ops) instead of the per-step kernels' fold-into-W0 — the weights
+# change every leapfrog step here, so folding would cost a [C*out, m]
+# rescale per step for the same arithmetic.
+#
+# Matches the reference's intended genome-scale workload
+# (/root/reference/scripts/sim_random_phen.r:7-16) on the hot loop of
+# branch_sampler.rs:1192-1299.
+
+# byte-columns per tile: each of the 4 parts of a tile decodes to a
+# [m_pad, tile_b] genotype chunk, so the per-dot lane width is tile_b and
+# the 4 parts' dots interleave as independent work (same latency-hiding as
+# NB>1 branch instances).
+_TILE_B = 2048
+
+
+def _traj_kernel_packed(
+    act, n, B_bytes, L_steps, depth1, C, NB, in_dtype, l1, tile_b, *refs
+):
+    """Grid (G // NB,). Ref layout (leading size-NB branch block dim):
+      in:  bytes [NB, m_pad, B] uint8 (group-strided, VMEM all L steps),
+           scale [NB, m_pad, 1] f32 (1/sigma; 0 on padded markers),
+           off   [NB, m_pad, 1] f32 (mu/sigma),
+           target [NB, C, 4*B] f32 (part-major permuted, zero-padded past n),
+           err [NB, C, 1],
+           then weights/biases/momenta/step sizes/precision factors and
+           outputs exactly as _traj_kernel.
+    """
+    L = depth1
+    nw = L
+    nbias = L - 1
+    x_ref, sc_ref, of_ref, t_ref, e_ref = refs[:5]
+    i = 5
+    w_refs = refs[i : i + nw]; i += nw
+    b_refs = refs[i : i + nbias]; i += nbias
+    pw_refs = refs[i : i + nw]; i += nw
+    pb_refs = refs[i : i + nbias]; i += nbias
+    ew_refs = refs[i : i + nw]; i += nw
+    eb_refs = refs[i : i + nbias]; i += nbias
+    lw_refs = refs[i : i + nw]; i += nw
+    lb_refs = refs[i : i + nbias]; i += nbias
+    ow_refs = refs[i : i + nw]; i += nw
+    ob_refs = refs[i : i + nbias]; i += nbias
+    opw_refs = refs[i : i + nw]; i += nw
+    opb_refs = refs[i : i + nbias]; i += nbias
+
+    from .packed_matmul import _kernel_decode_part
+
+    cast = _cast_for(in_dtype)
+    n_tiles = -(-B_bytes // tile_b)
+    need_mask = n != 4 * B_bytes
+
+    bytes_all = [x_ref[b] for b in range(NB)]  # [m_pad, B], VMEM-resident
+    scales = [sc_ref[b] for b in range(NB)]
+    offs = [of_ref[b] for b in range(NB)]
+    tgts = [t_ref[b] for b in range(NB)]       # [C, 4*B] part-major
+    errs = [e_ref[b] for b in range(NB)]       # [C, 1]
+    eps_w = [[ew_refs[l][b] for l in range(nw)] for b in range(NB)]
+    eps_b = [[eb_refs[l][b] for l in range(nbias)] for b in range(NB)]
+    lam_w = [[lw_refs[l][b] for l in range(nw)] for b in range(NB)]
+    lam_b = [[lb_refs[l][b] for l in range(nbias)] for b in range(NB)]
+    cs = w_refs[L - 1].shape[1]  # C*s_pad
+    s_pad = cs // C
+
+    def errE(b, co, i_):
+        o = co // C
+        return jnp.broadcast_to(
+            errs[b][:, :, None], (C, o, i_)
+        ).reshape(co, i_)
+
+    def data_grad(ws, bs):
+        """d(rss/2)/d(w, b) per (branch, chain), summed over individuals.
+        The virtual-instance axis is (branch, part): the 4 decode parts of a
+        byte tile are independent column sets of the same branch, so their
+        dots interleave exactly like NB>1 branch instances, accumulating
+        into the same per-branch cotangent."""
+        B = range(NB)
+        insts = [(b, q) for b in B for q in range(4)]
+        dws = [[jnp.zeros(w.shape, jnp.float32) for w in ws[b]] for b in B]
+        dbs = [[jnp.zeros(x.shape, jnp.float32) for x in bs[b]] for b in B]
+        bds = [
+            [
+                cast(_bd(
+                    ws[b][l].reshape(C, ws[b][l].shape[0] // C,
+                                     ws[b][l].shape[1]), C
+                ))
+                for l in range(1, L - 1)
+            ]
+            for b in B
+        ]
+        w0c = [cast(ws[b][0]) for b in B]
+        w_out = [ws[b][L - 1] for b in B]  # [C*s, 1]
+        for t in range(n_tiles):
+            w_t = min(tile_b, B_bytes - t * tile_b)
+            sl = slice(t * tile_b, t * tile_b + w_t)
+            b_i32 = [bytes_all[b][:, sl].astype(jnp.int32) for b in B]
+            if need_mask:
+                # column (q, bytecol) is individual g*512 + q*128 + j with
+                # g = bytecol//128, j = bytecol%128; only the last group can
+                # hold pack padding
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_t), 1)
+                bc = t * tile_b + lane
+                base_ix = (bc >> 7) * 512 + (bc & 127)
+            # decode + standardize each part: x = dec*scale - mu*scale
+            # (padded markers have scale 0 -> exactly 0, like dense rows)
+            x = [
+                cast(_kernel_decode_part(b_i32[b], q) * scales[b] - offs[b])
+                for (b, q) in insts
+            ]
+            z = [
+                jax.lax.dot_general(
+                    w0c[b], x[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bs[b][0]
+                for k, (b, q) in enumerate(insts)
+            ]
+            zs = [[zk] for zk in z]
+            acts = [[_act(act, zk)] for zk in z]
+            for l in range(1, L - 1):
+                z = [
+                    jax.lax.dot_general(
+                        bds[b][l - 1], cast(acts[k][-1]),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + bs[b][l]
+                    for k, (b, q) in enumerate(insts)
+                ]
+                for k in range(len(insts)):
+                    zs[k].append(z[k])
+                    acts[k].append(_act(act, z[k]))
+            e_t = []
+            for k, (b, q) in enumerate(insts):
+                contrib = w_out[b] * acts[k][-1]             # [C*s, w_t]
+                pred = jnp.sum(contrib.reshape(C, s_pad, w_t), axis=1)
+                err_k = pred - tgts[b][:, q * B_bytes + t * tile_b
+                                       : q * B_bytes + t * tile_b + w_t]
+                if need_mask:
+                    err_k = jnp.where(base_ix + q * 128 < n, err_k, 0.0)
+                e_t.append(err_k)
+            eE = [
+                jnp.broadcast_to(
+                    e_t[k][:, None, :], (C, s_pad, w_t)
+                ).reshape(cs, w_t)
+                for k in range(len(insts))
+            ]
+            for k, (b, q) in enumerate(insts):
+                dws[b][L - 1] = dws[b][L - 1] + jnp.sum(
+                    acts[k][-1] * eE[k], axis=1, keepdims=True
+                )
+            da = [w_out[b] * eE[k] for k, (b, q) in enumerate(insts)]
+            for l in range(L - 2, 0, -1):
+                co, i_ = ws[0][l].shape
+                o = co // C
+                dz = [
+                    da[k] * _act_prime(act, zs[k][l], acts[k][l])
+                    for k in range(len(insts))
+                ]
+                for k, (b, q) in enumerate(insts):
+                    dbs[b][l] = dbs[b][l] + jnp.sum(
+                        dz[k], axis=1, keepdims=True
+                    )
+                dzc = [cast(d) for d in dz]
+                ac = [cast(acts[k][l - 1]) for k in range(len(insts))]
+                for k, (b, q) in enumerate(insts):
+                    dws[b][l] = dws[b][l] + jnp.concatenate(
+                        [
+                            jax.lax.dot_general(
+                                dzc[k][c * o : (c + 1) * o, :],
+                                ac[k][c * i_ : (c + 1) * i_, :],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for c in range(C)
+                        ],
+                        axis=0,
+                    )
+                da = [
+                    jax.lax.dot_general(
+                        bds[b][l - 1], dzc[k], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for k, (b, q) in enumerate(insts)
+                ]
+            dz = [
+                da[k] * _act_prime(act, zs[k][0], acts[k][0])
+                for k in range(len(insts))
+            ]
+            for k, (b, q) in enumerate(insts):
+                dbs[b][0] = dbs[b][0] + jnp.sum(dz[k], axis=1, keepdims=True)
+            for k, (b, q) in enumerate(insts):
+                dws[b][0] = dws[b][0] + jax.lax.dot_general(
+                    cast(dz[k]), x[k], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return dws, dbs
+
+    def ld_grad(ws, bs):
+        dws, dbs = data_grad(ws, bs)
+        gw = [
+            [
+                (-lam_w[b][l] * (jnp.sign(ws[b][l]) if l1 else ws[b][l]))
+                - errE(b, *ws[b][l].shape) * dws[b][l]
+                for l in range(nw)
+            ]
+            for b in range(NB)
+        ]
+        gb = [
+            [
+                (-lam_b[b][l] * (jnp.sign(bs[b][l]) if l1 else bs[b][l]))
+                - errE(b, *bs[b][l].shape) * dbs[b][l]
+                for l in range(nbias)
+            ]
+            for b in range(NB)
+        ]
+        return gw, gb
+
+    ws0 = [[w_refs[l][b].astype(jnp.float32) for l in range(nw)]
+           for b in range(NB)]
+    bs0 = [[b_refs[l][b].astype(jnp.float32) for l in range(nbias)]
+           for b in range(NB)]
+    pws0 = [[pw_refs[l][b].astype(jnp.float32) for l in range(nw)]
+            for b in range(NB)]
+    pbs0 = [[pb_refs[l][b].astype(jnp.float32) for l in range(nbias)]
+            for b in range(NB)]
+    gws0, gbs0 = ld_grad(ws0, bs0)
+
+    def upd(xs, es, gs, frac):
+        return [
+            [x + frac * e * g for x, e, g in zip(xs[b], es[b], gs[b])]
+            for b in range(NB)
+        ]
+
+    def step(_, carry):
+        ws, bs, pws, pbs, gws, gbs = carry
+        pws = upd(pws, eps_w, gws, 0.5)
+        pbs = upd(pbs, eps_b, gbs, 0.5)
+        ws = upd(ws, eps_w, pws, 1.0)
+        bs = upd(bs, eps_b, pbs, 1.0)
+        gws, gbs = ld_grad(ws, bs)
+        pws = upd(pws, eps_w, gws, 0.5)
+        pbs = upd(pbs, eps_b, gbs, 0.5)
+        return (ws, bs, pws, pbs, gws, gbs)
+
+    ws, bs, pws, pbs, _, _ = jax.lax.fori_loop(
+        0, L_steps, step, (ws0, bs0, pws0, pbs0, gws0, gbs0)
+    )
+    for l in range(nw):
+        for b in range(NB):
+            ow_refs[l][b, :, :] = ws[b][l]
+            opw_refs[l][b, :, :] = pws[b][l]
+    for l in range(nbias):
+        for b in range(NB):
+            ob_refs[l][b, :, :] = bs[b][l]
+            opb_refs[l][b, :, :] = pbs[b][l]
+
+
+def _part_perm(B_bytes: int):
+    """Natural-order individual index for each part-major column: column
+    q*B + bytecol of the permuted target is individual
+    (bytecol//128)*512 + q*128 + bytecol%128 (ops/packed_matmul strided
+    layout)."""
+    import numpy as np
+
+    bc = np.arange(B_bytes)
+    base = (bc // 128) * 512 + (bc % 128)
+    return np.concatenate([base + q * 128 for q in range(4)])
+
+
+def packed_fits_vmem(m_pad: int, B_bytes: int, C: int = 1) -> bool:
+    """True when one branch's resident byte block (+ per-chain part-major
+    targets) fits the trajectory kernel's VMEM budget. int8 sublane tile is
+    32; the byte lane dim is already a multiple of 128."""
+    m_sub = -(-m_pad // 32) * 32
+    return m_sub * B_bytes + C * 4 * B_bytes * 4 <= _X_VMEM_BUDGET
+
+
+def _pick_nb_packed(G, m_pad, B_bytes, C, out_max, tile_b):
+    """(nb, tile_b) under the ~14 MB Mosaic scoped-value budget. Per branch
+    instance the live set is: the resident bytes + targets, the 4 decoded
+    (and standardized) [m_sub, tile_b] f32 part chunks — all four stay live
+    through a tile iteration for the dW0 dots — and ~6 [C*out, tile_b] f32
+    working arrays per part instance. Shrinks tile_b before giving up nb."""
+    import os
+
+    nb = int(os.environ.get("RS_BANN_TRAJ_NB", NB_DEFAULT))
+    while nb > 1 and G % nb:
+        nb -= 1
+    m_sub = -(-m_pad // 32) * 32
+
+    def per_branch(tb):
+        return (
+            4 * m_sub * tb * 4
+            + 4 * 6 * C * max(out_max, 8) * tb * 4
+            + m_sub * B_bytes + C * 4 * B_bytes * 4
+        )
+
+    while nb > 1 and nb * per_branch(tile_b) > 14 * 2**20:
+        nb -= 1
+    while tile_b > 512 and nb * per_branch(tile_b) > 14 * 2**20:
+        tile_b //= 2
+    return nb, tile_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "L_steps", "interpret", "in_dtype", "l1", "C",
+                     "nb", "n", "tile_b"),
+)
+def _traj_chains_packed_impl(
+    bytes_g, scale, off, targets_perm, err, weights, biases, p_w, p_b,
+    eps_w, eps_b, lam_w, lam_b,
+    act, L_steps, interpret, in_dtype, l1, C, nb, n, tile_b,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, B_bytes = bytes_g.shape
+    L = len(weights)
+
+    def prep_w(ts):
+        return tuple(_merge_wt(t) for t in ts[: L - 1]) + (
+            ts[L - 1].reshape(G, -1, 1),
+        )
+
+    def prep_b(ts):
+        return tuple(t.reshape(G, -1, 1) for t in ts)
+
+    wm, pm, em, lm = (prep_w(t) for t in (weights, p_w, eps_w, lam_w))
+    bm, pbm, ebm, lbm = (prep_b(t) for t in (biases, p_b, eps_b, lam_b))
+    em3 = err.reshape(G, C, 1) if err.ndim > 1 else jnp.broadcast_to(
+        err.reshape(1, 1, 1), (G, C, 1)
+    )
+
+    const3 = lambda shape: pl.BlockSpec(
+        (nb,) + shape, lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    operands = (
+        [bytes_g, scale[:, :, None], off[:, :, None], targets_perm, em3]
+        + list(wm) + list(bm) + list(pm) + list(pbm)
+        + list(em) + list(ebm) + list(lm) + list(lbm)
+    )
+    in_specs = [const3(a.shape[1:]) for a in operands]
+    out_arrs = list(wm) + list(bm) + list(pm) + list(pbm)
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in out_arrs]
+    out_specs = [const3(a.shape[1:]) for a in out_arrs]
+
+    kern = functools.partial(
+        _traj_kernel_packed, act, n, B_bytes, L_steps, L, C, nb, in_dtype,
+        l1, tile_b,
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(G // nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+
+    nw, nb_ = L, L - 1
+    w_f = tuple(
+        _unmerge_wt(res[l], weights[l]) for l in range(L - 1)
+    ) + (res[L - 1].reshape(weights[-1].shape),)
+    b_f = tuple(res[nw + l].reshape(biases[l].shape) for l in range(nb_))
+    pw_f = tuple(
+        _unmerge_wt(res[nw + nb_ + l], weights[l]) for l in range(L - 1)
+    ) + (res[nw + nb_ + L - 1].reshape(weights[-1].shape),)
+    pb_f = tuple(
+        res[2 * nw + nb_ + l].reshape(biases[l].shape) for l in range(nb_)
+    )
+    return w_f, b_f, pw_f, pb_f
+
+
+def integrate_chains_packed(
+    act_name, bytes_g, w_scale, shift, targets, err, weights, biases,
+    p_w, p_b, eps_w, eps_b, lam_w, lam_b, L_steps, n, l1=False,
+    interpret=False,
+):
+    """Packed analog of integrate_chains: integrate L leapfrog steps for all
+    (branch, chain) pairs with the branch's 2-bit bytes VMEM-resident.
+
+    bytes_g [G, m_pad, B] uint8 (group-strided, ops/packed_matmul layout);
+    w_scale/shift [G, m_pad] per-marker 1/sigma and mu (models/density.
+    PackedX fields); targets [G, C, n] in NATURAL individual order (the
+    part-major permutation is applied here); the rest as integrate_chains.
+    """
+    import os
+
+    in_dtype = None if interpret else "bfloat16"
+    C = targets.shape[1]
+    G, m_pad, B_bytes = bytes_g.shape
+    tile_b = int(os.environ.get("RS_BANN_TRAJ_TB", _TILE_B))
+    tile_b = min(tile_b, -(-B_bytes // 128) * 128)
+    out_max = max(w.shape[-1] for w in weights[:-1]) if len(weights) > 1 \
+        else weights[0].shape[-1]
+    nb, tile_b = _pick_nb_packed(
+        G, m_pad, B_bytes, C, max(out_max, 8), tile_b
+    )
+    perm = jnp.asarray(_part_perm(B_bytes))
+    n4 = 4 * B_bytes
+    tgt_pad = jnp.zeros((G, C, n4), jnp.float32).at[:, :, :n].set(targets)
+    tgt_perm = jnp.take(tgt_pad, perm, axis=2)
+    off = shift * w_scale
+    return _traj_chains_packed_impl(
+        bytes_g, w_scale, off, tgt_perm, jnp.asarray(err, jnp.float32),
+        tuple(weights), tuple(biases), tuple(p_w), tuple(p_b), tuple(eps_w),
+        tuple(eps_b), tuple(lam_w), tuple(lam_b), act_name, int(L_steps),
+        interpret, in_dtype, bool(l1), C, nb, int(n), tile_b,
+    )
+
+
 def integrate_chains(
     act_name, xT, targets, err, weights, biases, p_w, p_b, eps_w, eps_b,
     lam_w, lam_b, L_steps, l1=False, interpret=False,

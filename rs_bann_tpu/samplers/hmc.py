@@ -969,13 +969,22 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
             kin0=True, dead=True, uturn_step=True,
         )
         flat = lambda t: jax.tree.leaves(t)
-        foldable = (
-            lean_ok
-            and leapfrog.fold_enabled()
-            and isinstance(x, D.FeatX)
+        is_packed = isinstance(x, D.PackedX)
+        x_ok = (
+            isinstance(x, D.FeatX)
             and leapfrog.x_fits_vmem(
                 x.xT.shape[-2], x.xT.shape[-1], targets.shape[0]
             )
+        ) or (
+            is_packed
+            and leapfrog.packed_fits_vmem(
+                x.bytes.shape[-2], x.bytes.shape[-1], targets.shape[0]
+            )
+        )
+        foldable = (
+            lean_ok
+            and leapfrog.fold_enabled()
+            and x_ok
             and not any(flat(xb))                      # x shared over chains
             and not any(flat(mwb)) and not any(flat(mbb))
             and not any(flat(npb))
@@ -1087,21 +1096,60 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
                 for p in (tuple(pws) + tuple(pbs))
             )
 
-        _, rss0, _, _ = branch_mlp.data_vg_chains(
-            act_name, x.xT, w_gc, b_gc, tgt_gc
-        )
+        if is_packed:
+            # packed value pass for H0/Hf and the live-accept prediction:
+            # per-chain map over the branch-blocked packed kernel (2 calls
+            # per sweep — the L-step stream the trajectory kernel removes
+            # dominates; a chains-folded packed forward is not needed)
+            def vg_all_packed(w_gc_, b_gc_):
+                t_cg = lambda tree: jax.tree.map(
+                    lambda a: jnp.swapaxes(a, 0, 1), tree
+                )
+
+                def per_chain(args):
+                    w_c, b_c, tc = args
+
+                    def per_branch(x_g, w_g, b_g, t_g):
+                        yp, rss, _, _ = branch_mlp.data_vg_packed(
+                            act_name, x_g, w_g, b_g, t_g
+                        )
+                        return yp, rss
+
+                    return jax.vmap(per_branch)(x, w_c, b_c, tc)
+
+                yp_cg, rss_cg = jax.lax.map(
+                    per_chain,
+                    (t_cg(w_gc_), t_cg(b_gc_), jnp.swapaxes(tgt_gc, 0, 1)),
+                )
+                return jnp.swapaxes(yp_cg, 0, 1), jnp.swapaxes(rss_cg, 0, 1)
+
+            vg_all = vg_all_packed
+        else:
+            def vg_all(w_gc_, b_gc_):
+                yp, rss, _, _ = branch_mlp.data_vg_chains(
+                    act_name, x.xT, w_gc_, b_gc_, tgt_gc
+                )
+                return yp, rss
+
+        _, rss0 = vg_all(w_gc, b_gc)
         pri0 = prior_gc(w_gc, b_gc, wp_gc)          # [G, C]
         kin0 = kin(p_w, p_b)
         neg_h0 = (pri0 - err_gc * rss0 / 2.0) - kin0
 
-        w_f, b_f, pw_f, pb_f = leapfrog.integrate_chains(
-            act_name, x.xT, tgt_gc, err_gc, w_gc, b_gc, p_w, p_b,
-            eps_w, eps_b, lam_w, lam_b, L_steps, l1=l1, interpret=interpret,
-        )
+        if is_packed:
+            w_f, b_f, pw_f, pb_f = leapfrog.integrate_chains_packed(
+                act_name, x.bytes, x.w_scale, x.shift, tgt_gc, err_gc,
+                w_gc, b_gc, p_w, p_b, eps_w, eps_b, lam_w, lam_b, L_steps,
+                x.n, l1=l1, interpret=interpret,
+            )
+        else:
+            w_f, b_f, pw_f, pb_f = leapfrog.integrate_chains(
+                act_name, x.xT, tgt_gc, err_gc, w_gc, b_gc, p_w, p_b,
+                eps_w, eps_b, lam_w, lam_b, L_steps, l1=l1,
+                interpret=interpret,
+            )
 
-        yp_f, rss_f, _, _ = branch_mlp.data_vg_chains(
-            act_name, x.xT, w_f, b_f, tgt_gc
-        )
+        yp_f, rss_f = vg_all(w_f, b_f)
         pri_f = prior_gc(w_f, b_f, wp_gc)
         kin_f = kin(pw_f, pb_f)
         neg_h_f = (pri_f - err_gc * rss_f / 2.0) - kin_f

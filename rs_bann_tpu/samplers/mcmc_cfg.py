@@ -42,6 +42,13 @@ class MCMCCfg:
     # parallel within a block: interpolates statistical quality vs throughput
     # and matches the sharding granularity)
     block_size: int = 0  # hybrid mode: branches per parallel block
+    hybrid_shared_perm: bool = True  # hybrid mode (r5): draw the per-sweep
+    # block permutation from (seed, sweep counter) shared across chains
+    # instead of each chain's carry key. Required for the chain-folded
+    # whole-trajectory kernel to engage on the hybrid schedule (the block's
+    # X slice must be unbatched over chains; models/net.chain_fold_eligible)
+    # and value-identical between vmapped and lax.map chain arrangements.
+    # False restores the pre-r5 per-chain permutation draws.
     ss_rows: bool = False  # TPU extension: per-marker selection for
     # NONLINEAR branches (any depth/activation; ridge_ard only). Two-
     # component mixture on layer-0 row priors: slab = the usual
@@ -66,6 +73,24 @@ class MCMCCfg:
     # for layer 0 — a constant-offset misreport, sampling is unaffected.)
     ssr_shape: float = 1.0
     ssr_scale: float = 1.0
+    lam_e_floor: float = 0.01  # divergence guard (r5, VERDICT r4 #2): floor
+    # the Gibbs-drawn error precision at lam_e_floor / var(y) — i.e. cap the
+    # error VARIANCE at var(y)/lam_e_floor (default 100x var(y), far beyond
+    # any sane model). Healthy chains never touch the floor (their lambda_e
+    # ~ 1/var_e >> floor), so draws are bitwise unchanged; a diverging chain
+    # (coefficients explode -> rss explodes -> lambda_e -> 0 -> likelihood
+    # goes flat -> coefficients random-walk further: the measured ssm
+    # lambda_e spiral, BASELINE_SELF ukb_ssm_pi01_4chain_run) keeps an
+    # informative likelihood and the conjugate coefficient draws contract it
+    # back. Statistically this truncates the lambda_e prior support at the
+    # floor. 0 disables.
+    lam_row_floor: float = 1e-6  # divergence guard, second loop: floor the
+    # Gibbs-drawn local weight/bias precisions (incl. ARD per-row lambdas).
+    # The near-improper CLI-default hyperprior makes the slab scale-free for
+    # huge |w| (lambda ~ 1/w^2: the slab follows the explosion up) and the
+    # izmailov step size eps ~ 1/sqrt(lambda) diverges with it. Healthy
+    # lambdas are orders of magnitude above 1e-6, so draws are bitwise
+    # unchanged outside the pathology. 0 disables.
     live_accept: bool = True  # TPU extension (parallel/hybrid marginal HMC):
     # integrate all branch trajectories in parallel against the FROZEN
     # residual (the expensive leapfrogs stay batched on the MXU), but run

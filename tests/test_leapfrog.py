@@ -179,12 +179,14 @@ def test_chain_vmapped_sweep_matches_lax_map(model_type, mode, mass, act,
 
 
 def test_chain_fold_ineligible_configs_fall_back():
-    """Configs outside the folded path (hybrid schedule, packed X) still run
-    correctly under a chain vmap via the generic rule."""
+    """Configs outside the folded path (hybrid with per-chain permutations,
+    sequential schedule) still run correctly under a chain vmap via the
+    generic rule."""
     net, X, y = _setup_net()
     cfg = MCMCCfg(
         chain_length=1, burn_in=10**9, hmc_integration_length=3,
         update_mode="hybrid", block_size=2, num_chains=2, seed=0,
+        hybrid_shared_perm=False,
     )
     assert not chain_fold_eligible(net.model_type, net.arch.activation, cfg, X)
     sweep = net.make_sweep(cfg)
@@ -194,3 +196,93 @@ def test_chain_fold_ineligible_configs_fall_back():
         carry, X, y
     )
     assert np.all(np.isfinite(np.asarray(stats.mse_train)))
+    cfg_seq = MCMCCfg(
+        chain_length=1, burn_in=10**9, hmc_integration_length=3,
+        update_mode="sequential", num_chains=2, seed=0,
+    )
+    assert not chain_fold_eligible(
+        net.model_type, net.arch.activation, cfg_seq, X
+    )
+
+
+def _setup_net_packed(model_type="ridge_ard", act="identity", G=4, m=8,
+                      h=4, n=700, seed=0, depth=0):
+    from rs_bann_tpu.ops.packed_matmul import pack_strided
+
+    arch = NetArch.uniform(G, m, h, depth, h, activation=act)
+    state, _ = init_net(arch, model_type, InitCfg(seed=seed))
+    net = Net(model_type, arch, D.Hyperparameters(), state)
+    rng = np.random.default_rng(seed)
+    geno = rng.integers(0, 3, size=(G, m, n)).astype(np.float32)
+    bytes_g = np.stack([
+        pack_strided(np.pad(geno[g], ((0, arch.m_pad - m), (0, 0))))
+        for g in range(G)
+    ])
+    shift = np.zeros((G, arch.m_pad), np.float32)
+    scale = np.zeros((G, arch.m_pad), np.float32)
+    shift[:, :m] = geno.mean(axis=2)
+    sd = geno.std(axis=2)
+    scale[:, :m] = np.where(sd > 0, 1.0 / np.maximum(sd, 1e-12), 0.0)
+    X = D.PackedX(
+        jnp.asarray(bytes_g), jnp.asarray(scale), jnp.asarray(shift), n
+    )
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    return net, X, y
+
+
+@pytest.mark.parametrize(
+    "packed,model_type,act,depth,mode,mass",
+    [
+        (False, "ridge_base", "tanh", 1, "izmailov", False),
+        (True, "ridge_ard", "identity", 0, "dual_averaging", True),
+        # the genome-scale production recipe: packed + hybrid + ridge_ard
+        # identity depth-0 with DA + mass adaptation
+        (True, "lasso_ard", "identity", 0, "izmailov", False),
+    ],
+)
+def test_hybrid_chain_vmapped_sweep_matches_lax_map(packed, model_type, act,
+                                                    depth, mode, mass):
+    """The hybrid schedule's chain-folded dispatch (r5: shared block
+    permutation + whole-trajectory kernel per block, dense AND packed) must
+    reproduce the per-chain lax.map arrangement draw-for-draw."""
+    C = 2
+    if packed:
+        net, X, y = _setup_net_packed(model_type=model_type, act=act,
+                                      depth=depth)
+    else:
+        net, X, y = _setup_net(model_type=model_type, act=act, depth=depth)
+    cfg = MCMCCfg(
+        chain_length=1, burn_in=4 if mode == "dual_averaging" else 10**9,
+        hmc_integration_length=4, hmc_step_size_mode=mode,
+        update_mode="hybrid", block_size=2, num_chains=C,
+        mass_adaptation=mass, seed=0,
+    )
+    assert chain_fold_eligible(net.model_type, net.arch.activation, cfg, X)
+    sweep = net.make_sweep(cfg)
+    keys = jax.random.split(jax.random.key(0), C)
+    mk_carry = jax.vmap(
+        lambda k: net.init_carry(X, y, k, mass_adaptation=mass)
+    )
+
+    folded = jax.jit(jax.vmap(sweep, in_axes=(0, None, None)))
+    ref = jax.jit(
+        lambda c, X_, y_: jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
+    )
+
+    c_f, c_r = mk_carry(keys), mk_carry(keys)
+    for _ in range(3):
+        c_f, st_f = folded(c_f, X, y)
+        c_r, st_r = ref(c_r, X, y)
+    np.testing.assert_allclose(
+        np.asarray(c_f.residual), np.asarray(c_r.residual), rtol=2e-4,
+        atol=2e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_f.counts), np.asarray(st_r.counts)
+    )
+    for a, b in zip(
+        jax.tree.leaves(c_f.state.params), jax.tree.leaves(c_r.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
