@@ -714,15 +714,13 @@ def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
     if not leapfrog.fold_enabled():
         return False
     C = max(int(cfg.num_chains), 1)
+    # packed X folds at ANY size (r5): bytes-resident when they fit VMEM,
+    # grid-streamed otherwise (ops/leapfrog.integrate_chains_packed picks);
+    # dense X still needs the resident block to fit
     x_ok = (
         isinstance(X, D.FeatX)
         and leapfrog.x_fits_vmem(X.xT.shape[-2], X.xT.shape[-1], C)
-    ) or (
-        isinstance(X, D.PackedX)
-        and leapfrog.packed_fits_vmem(
-            X.bytes.shape[-2], X.bytes.shape[-1], C
-        )
-    )
+    ) or isinstance(X, D.PackedX)
     mode_ok = cfg.update_mode == "parallel" or (
         cfg.update_mode == "hybrid" and cfg.hybrid_shared_perm
     )

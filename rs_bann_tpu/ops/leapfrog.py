@@ -453,13 +453,20 @@ def _traj_kernel_packed(
     act, n, B_bytes, L_steps, depth1, C, NB, in_dtype, l1, tile_b, *refs
 ):
     """Grid (G // NB,). Ref layout (leading size-NB branch block dim):
-      in:  bytes [NB, m_pad, B] uint8 (group-strided, VMEM all L steps),
+      in:  bytes [NB, m_pad, B] uint8 (group-strided, VMEM all L steps;
+           B a multiple of tile_b — caller pads with 0x55 = four 01 codes),
            scale [NB, m_pad, 1] f32 (1/sigma; 0 on padded markers),
            off   [NB, m_pad, 1] f32 (mu/sigma),
            target [NB, C, 4*B] f32 (part-major permuted, zero-padded past n),
            err [NB, C, 1],
            then weights/biases/momenta/step sizes/precision factors and
            outputs exactly as _traj_kernel.
+
+    The tile loop is a lax.fori_loop with pl.ds ref slices, NOT a Python
+    unroll: Mosaic's scoped-value stack is charged for every unrolled
+    iteration's live set summed (measured: 13 unrolled tiles at the n=100k
+    genome shape wanted 31.7 MB against the 16 MB/core VMEM), while a fori
+    body is charged once.
     """
     L = depth1
     nw = L
@@ -479,16 +486,17 @@ def _traj_kernel_packed(
     opw_refs = refs[i : i + nw]; i += nw
     opb_refs = refs[i : i + nbias]; i += nbias
 
+    from jax.experimental import pallas as pl
+
     from .packed_matmul import _kernel_decode_part
 
     cast = _cast_for(in_dtype)
-    n_tiles = -(-B_bytes // tile_b)
+    assert B_bytes % tile_b == 0
+    n_tiles = B_bytes // tile_b
     need_mask = n != 4 * B_bytes
 
-    bytes_all = [x_ref[b] for b in range(NB)]  # [m_pad, B], VMEM-resident
     scales = [sc_ref[b] for b in range(NB)]
     offs = [of_ref[b] for b in range(NB)]
-    tgts = [t_ref[b] for b in range(NB)]       # [C, 4*B] part-major
     errs = [e_ref[b] for b in range(NB)]       # [C, 1]
     eps_w = [[ew_refs[l][b] for l in range(nw)] for b in range(NB)]
     eps_b = [[eb_refs[l][b] for l in range(nbias)] for b in range(NB)]
@@ -511,8 +519,6 @@ def _traj_kernel_packed(
         into the same per-branch cotangent."""
         B = range(NB)
         insts = [(b, q) for b in B for q in range(4)]
-        dws = [[jnp.zeros(w.shape, jnp.float32) for w in ws[b]] for b in B]
-        dbs = [[jnp.zeros(x.shape, jnp.float32) for x in bs[b]] for b in B]
         bds = [
             [
                 cast(_bd(
@@ -525,16 +531,23 @@ def _traj_kernel_packed(
         ]
         w0c = [cast(ws[b][0]) for b in B]
         w_out = [ws[b][L - 1] for b in B]  # [C*s, 1]
-        for t in range(n_tiles):
-            w_t = min(tile_b, B_bytes - t * tile_b)
-            sl = slice(t * tile_b, t * tile_b + w_t)
-            b_i32 = [bytes_all[b][:, sl].astype(jnp.int32) for b in B]
+
+        def tile_body(t, carry):
+            dws_fl, dbs_fl = carry
+            dws = [list(dws_fl[b]) for b in B]
+            dbs = [list(dbs_fl[b]) for b in B]
+            start = t * tile_b
+            b_i32 = [
+                x_ref[b, :, pl.ds(start, tile_b)].astype(jnp.int32)
+                for b in B
+            ]
             if need_mask:
                 # column (q, bytecol) is individual g*512 + q*128 + j with
-                # g = bytecol//128, j = bytecol%128; only the last group can
-                # hold pack padding
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_t), 1)
-                bc = t * tile_b + lane
+                # g = bytecol//128, j = bytecol%128; pack padding (last
+                # group) and tile padding (bytecol >= true B) both map to
+                # indices >= n
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_b), 1)
+                bc = start + lane
                 base_ix = (bc >> 7) * 512 + (bc & 127)
             # decode + standardize each part: x = dec*scale - mu*scale
             # (padded markers have scale 0 -> exactly 0, like dense rows)
@@ -565,17 +578,17 @@ def _traj_kernel_packed(
                     acts[k].append(_act(act, z[k]))
             e_t = []
             for k, (b, q) in enumerate(insts):
-                contrib = w_out[b] * acts[k][-1]             # [C*s, w_t]
-                pred = jnp.sum(contrib.reshape(C, s_pad, w_t), axis=1)
-                err_k = pred - tgts[b][:, q * B_bytes + t * tile_b
-                                       : q * B_bytes + t * tile_b + w_t]
+                contrib = w_out[b] * acts[k][-1]             # [C*s, TB]
+                pred = jnp.sum(contrib.reshape(C, s_pad, tile_b), axis=1)
+                tgt_k = t_ref[b, :, pl.ds(q * B_bytes + start, tile_b)]
+                err_k = pred - tgt_k
                 if need_mask:
                     err_k = jnp.where(base_ix + q * 128 < n, err_k, 0.0)
                 e_t.append(err_k)
             eE = [
                 jnp.broadcast_to(
-                    e_t[k][:, None, :], (C, s_pad, w_t)
-                ).reshape(cs, w_t)
+                    e_t[k][:, None, :], (C, s_pad, tile_b)
+                ).reshape(cs, tile_b)
                 for k in range(len(insts))
             ]
             for k, (b, q) in enumerate(insts):
@@ -627,7 +640,23 @@ def _traj_kernel_packed(
                     cast(dz[k]), x[k], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        return dws, dbs
+            return (
+                tuple(tuple(d) for d in dws),
+                tuple(tuple(d) for d in dbs),
+            )
+
+        init = (
+            tuple(
+                tuple(jnp.zeros(w.shape, jnp.float32) for w in ws[b])
+                for b in B
+            ),
+            tuple(
+                tuple(jnp.zeros(x.shape, jnp.float32) for x in bs[b])
+                for b in B
+            ),
+        )
+        dws_fl, dbs_fl = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+        return [list(t) for t in dws_fl], [list(t) for t in dbs_fl]
 
     def ld_grad(ws, bs):
         dws, dbs = data_grad(ws, bs)
@@ -689,6 +718,264 @@ def _traj_kernel_packed(
             opb_refs[l][b, :, :] = pbs[b][l]
 
 
+def _traj_kernel_packed_stream(
+    act, n, B_pad, L_steps, depth1, C, NB, in_dtype, l1, tile_b, n_tiles,
+    *refs,
+):
+    """Grid-streamed packed trajectory kernel: grid (G//NB, L+1, n_tiles).
+
+    For shapes whose byte block exceeds VMEM (UKB-460k: 11.5 MB/branch),
+    the bytes stay in HBM and Pallas's grid pipeline streams one
+    [NB, m_pad, tile_b] byte tile (plus the matching part-major target
+    tile) per grid step with built-in double buffering — while the
+    integration STATE (chain-merged weights, biases, momenta, the carried
+    log-density gradient and the per-step data-gradient accumulators)
+    persists in VMEM scratch across the whole (l, t) sub-grid of a branch
+    block. One X stream per leapfrog step shared by all C chains — the
+    per-step path streams (and separately launches) per chain per step.
+
+    Leapfrog staging over the grid (l = 0 computes the initial gradient
+    only; steps are l = 1..L):
+      (l>0, t==0):  p += eps/2·g;  q += eps·p;  zero the accumulators
+      every (l, t): accumulate d(rss/2)/d(theta) of tile t at the current q
+      (l, t==last): g = prior(q) − err·accum;  if l>0: p += eps/2·g
+      (l==L, t==last): write q, p to the outputs
+    Same math as _traj_kernel_packed, so the same exactness tests bind.
+    """
+    from jax.experimental import pallas as pl
+
+    from .packed_matmul import _kernel_decode_part
+
+    L = depth1
+    nw = L
+    nbias = L - 1
+    x_ref, sc_ref, of_ref, t_ref, e_ref = refs[:5]
+    i = 5
+    w_refs = refs[i : i + nw]; i += nw
+    b_refs = refs[i : i + nbias]; i += nbias
+    pw_refs = refs[i : i + nw]; i += nw
+    pb_refs = refs[i : i + nbias]; i += nbias
+    ew_refs = refs[i : i + nw]; i += nw
+    eb_refs = refs[i : i + nbias]; i += nbias
+    lw_refs = refs[i : i + nw]; i += nw
+    lb_refs = refs[i : i + nbias]; i += nbias
+    ow_refs = refs[i : i + nw]; i += nw
+    ob_refs = refs[i : i + nbias]; i += nbias
+    opw_refs = refs[i : i + nw]; i += nw
+    opb_refs = refs[i : i + nbias]; i += nbias
+    # scratch: per branch-in-block, per kind, per layer
+    # layout: for b: [w(L), bias(L-1), pw(L), pb(L-1), gw(L), gb(L-1),
+    #                 aw(L), ab(L-1)]
+    scr = refs[i:]
+    stride = 4 * nw + 4 * nbias
+
+    def sref(b, kind, l):
+        off_k = {
+            "w": 0, "bias": nw, "pw": nw + nbias, "pb": 2 * nw + nbias,
+            "gw": 2 * (nw + nbias), "gb": 3 * nw + 2 * nbias,
+            "aw": 3 * (nw + nbias), "ab": 4 * nw + 3 * nbias,
+        }[kind]
+        return scr[b * stride + off_k + l]
+
+    cast = _cast_for(in_dtype)
+    l_ix = pl.program_id(1)
+    t = pl.program_id(2)
+    need_mask = n != 4 * B_pad
+    B = range(NB)
+    insts = [(b, q) for b in B for q in range(4)]
+    cs = w_refs[L - 1].shape[1]
+    s_pad = cs // C
+
+    errs = [e_ref[b] for b in range(NB)]
+
+    def errE(b, co, i_):
+        o = co // C
+        return jnp.broadcast_to(
+            errs[b][:, :, None], (C, o, i_)
+        ).reshape(co, i_)
+
+    @pl.when((l_ix == 0) & (t == 0))
+    def _():
+        for b in B:
+            for l in range(nw):
+                sref(b, "w", l)[:] = w_refs[l][b].astype(jnp.float32)
+                sref(b, "pw", l)[:] = pw_refs[l][b].astype(jnp.float32)
+            for l in range(nbias):
+                sref(b, "bias", l)[:] = b_refs[l][b].astype(jnp.float32)
+                sref(b, "pb", l)[:] = pb_refs[l][b].astype(jnp.float32)
+
+    @pl.when((l_ix > 0) & (t == 0))
+    def _():
+        for b in B:
+            for l in range(nw):
+                e = ew_refs[l][b]
+                sref(b, "pw", l)[:] += 0.5 * e * sref(b, "gw", l)[:]
+                sref(b, "w", l)[:] += e * sref(b, "pw", l)[:]
+            for l in range(nbias):
+                e = eb_refs[l][b]
+                sref(b, "pb", l)[:] += 0.5 * e * sref(b, "gb", l)[:]
+                sref(b, "bias", l)[:] += e * sref(b, "pb", l)[:]
+
+    @pl.when(t == 0)
+    def _():
+        for b in B:
+            for l in range(nw):
+                sref(b, "aw", l)[:] = jnp.zeros_like(sref(b, "aw", l))
+            for l in range(nbias):
+                sref(b, "ab", l)[:] = jnp.zeros_like(sref(b, "ab", l))
+
+    # ---- accumulate tile t's data gradient at the current state
+    ws = [[sref(b, "w", l)[:] for l in range(nw)] for b in B]
+    bs = [[sref(b, "bias", l)[:] for l in range(nbias)] for b in B]
+    bds = [
+        [
+            cast(_bd(
+                ws[b][l].reshape(C, ws[b][l].shape[0] // C,
+                                 ws[b][l].shape[1]), C
+            ))
+            for l in range(1, L - 1)
+        ]
+        for b in B
+    ]
+    w0c = [cast(ws[b][0]) for b in B]
+    w_out = [ws[b][L - 1] for b in B]
+
+    b_i32 = [x_ref[b].astype(jnp.int32) for b in B]  # [m_pad, tile_b] block
+    scales = [sc_ref[b] for b in B]
+    offs = [of_ref[b] for b in B]
+    if need_mask:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_b), 1)
+        bc = t * tile_b + lane
+        base_ix = (bc >> 7) * 512 + (bc & 127)
+    x = [
+        cast(_kernel_decode_part(b_i32[b], q) * scales[b] - offs[b])
+        for (b, q) in insts
+    ]
+    z = [
+        jax.lax.dot_general(
+            w0c[b], x[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bs[b][0]
+        for k, (b, q) in enumerate(insts)
+    ]
+    zs = [[zk] for zk in z]
+    acts = [[_act(act, zk)] for zk in z]
+    for l in range(1, L - 1):
+        z = [
+            jax.lax.dot_general(
+                bds[b][l - 1], cast(acts[k][-1]), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bs[b][l]
+            for k, (b, q) in enumerate(insts)
+        ]
+        for k in range(len(insts)):
+            zs[k].append(z[k])
+            acts[k].append(_act(act, z[k]))
+    e_t = []
+    for k, (b, q) in enumerate(insts):
+        contrib = w_out[b] * acts[k][-1]
+        pred = jnp.sum(contrib.reshape(C, s_pad, tile_b), axis=1)
+        err_k = pred - t_ref[b, q]  # target block [NB, 4, C, tile_b]
+        if need_mask:
+            err_k = jnp.where(base_ix + q * 128 < n, err_k, 0.0)
+        e_t.append(err_k)
+    eE = [
+        jnp.broadcast_to(
+            e_t[k][:, None, :], (C, s_pad, tile_b)
+        ).reshape(cs, tile_b)
+        for k in range(len(insts))
+    ]
+    for k, (b, q) in enumerate(insts):
+        sref(b, "aw", L - 1)[:] += jnp.sum(
+            acts[k][-1] * eE[k], axis=1, keepdims=True
+        )
+    da = [w_out[b] * eE[k] for k, (b, q) in enumerate(insts)]
+    for l in range(L - 2, 0, -1):
+        co, i_ = ws[0][l].shape
+        o = co // C
+        dz = [
+            da[k] * _act_prime(act, zs[k][l], acts[k][l])
+            for k in range(len(insts))
+        ]
+        for k, (b, q) in enumerate(insts):
+            sref(b, "ab", l)[:] += jnp.sum(dz[k], axis=1, keepdims=True)
+        dzc = [cast(d) for d in dz]
+        ac = [cast(acts[k][l - 1]) for k in range(len(insts))]
+        for k, (b, q) in enumerate(insts):
+            sref(b, "aw", l)[:] += jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        dzc[k][c * o : (c + 1) * o, :],
+                        ac[k][c * i_ : (c + 1) * i_, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for c in range(C)
+                ],
+                axis=0,
+            )
+        da = [
+            jax.lax.dot_general(
+                bds[b][l - 1], dzc[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for k, (b, q) in enumerate(insts)
+        ]
+    dz = [
+        da[k] * _act_prime(act, zs[k][0], acts[k][0])
+        for k in range(len(insts))
+    ]
+    for k, (b, q) in enumerate(insts):
+        sref(b, "ab", 0)[:] += jnp.sum(dz[k], axis=1, keepdims=True)
+    for k, (b, q) in enumerate(insts):
+        sref(b, "aw", 0)[:] += jax.lax.dot_general(
+            cast(dz[k]), x[k], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        for b in B:
+            for l in range(nw):
+                w_l = sref(b, "w", l)[:]
+                lam = lw_refs[l][b]
+                g = (
+                    -lam * (jnp.sign(w_l) if l1 else w_l)
+                    - errE(b, *w_l.shape) * sref(b, "aw", l)[:]
+                )
+                sref(b, "gw", l)[:] = g
+            for l in range(nbias):
+                b_l = sref(b, "bias", l)[:]
+                lam = lb_refs[l][b]
+                g = (
+                    -lam * (jnp.sign(b_l) if l1 else b_l)
+                    - errE(b, *b_l.shape) * sref(b, "ab", l)[:]
+                )
+                sref(b, "gb", l)[:] = g
+
+    @pl.when((l_ix > 0) & (t == n_tiles - 1))
+    def _():
+        for b in B:
+            for l in range(nw):
+                sref(b, "pw", l)[:] += (
+                    0.5 * ew_refs[l][b] * sref(b, "gw", l)[:]
+                )
+            for l in range(nbias):
+                sref(b, "pb", l)[:] += (
+                    0.5 * eb_refs[l][b] * sref(b, "gb", l)[:]
+                )
+
+    @pl.when((l_ix == L_steps) & (t == n_tiles - 1))
+    def _():
+        for b in B:
+            for l in range(nw):
+                ow_refs[l][b, :, :] = sref(b, "w", l)[:]
+                opw_refs[l][b, :, :] = sref(b, "pw", l)[:]
+            for l in range(nbias):
+                ob_refs[l][b, :, :] = sref(b, "bias", l)[:]
+                opb_refs[l][b, :, :] = sref(b, "pb", l)[:]
+
+
 def _part_perm(B_bytes: int):
     """Natural-order individual index for each part-major column: column
     q*B + bytecol of the permuted target is individual
@@ -734,6 +1021,126 @@ def _pick_nb_packed(G, m_pad, B_bytes, C, out_max, tile_b):
     while tile_b > 512 and nb * per_branch(tile_b) > 14 * 2**20:
         tile_b //= 2
     return nb, tile_b
+
+
+def _pick_nb_stream(G, m_pad, C, out_max, tile_b):
+    """(nb, tile_b) for the grid-streamed variant: only the per-tile
+    working set and the pipelined input blocks live in VMEM (the byte block
+    itself streams), so the budget is independent of B."""
+    import os
+
+    nb = int(os.environ.get("RS_BANN_TRAJ_NB", NB_DEFAULT))
+    while nb > 1 and G % nb:
+        nb -= 1
+    m_sub = -(-m_pad // 32) * 32
+
+    def per_branch(tb):
+        return (
+            4 * m_sub * tb * 4
+            + 4 * 6 * C * max(out_max, 8) * tb * 4
+            + 2 * (m_sub * tb + 4 * C * tb * 4)
+        )
+
+    while nb > 1 and nb * per_branch(tile_b) > 12 * 2**20:
+        nb -= 1
+    while tile_b > 512 and nb * per_branch(tile_b) > 12 * 2**20:
+        tile_b //= 2
+    return nb, tile_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "L_steps", "interpret", "in_dtype", "l1", "C",
+                     "nb", "n", "tile_b"),
+)
+def _traj_chains_packed_stream_impl(
+    bytes_g, scale, off, targets_part, err, weights, biases, p_w, p_b,
+    eps_w, eps_b, lam_w, lam_b,
+    act, L_steps, interpret, in_dtype, l1, C, nb, n, tile_b,
+):
+    """``targets_part`` [G, 4, C, B_pad]: part-major with the part axis
+    explicit so one BlockSpec tile carries all 4 parts of a byte tile."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, m_pad, B_pad = bytes_g.shape
+    L = len(weights)
+    n_tiles = B_pad // tile_b
+
+    def prep_w(ts):
+        return tuple(_merge_wt(t) for t in ts[: L - 1]) + (
+            ts[L - 1].reshape(G, -1, 1),
+        )
+
+    def prep_b(ts):
+        return tuple(t.reshape(G, -1, 1) for t in ts)
+
+    wm, pm, em, lm = (prep_w(t) for t in (weights, p_w, eps_w, lam_w))
+    bm, pbm, ebm, lbm = (prep_b(t) for t in (biases, p_b, eps_b, lam_b))
+    em3 = err.reshape(G, C, 1) if err.ndim > 1 else jnp.broadcast_to(
+        err.reshape(1, 1, 1), (G, C, 1)
+    )
+
+    const3 = lambda shape: pl.BlockSpec(
+        (nb,) + shape, lambda g, l, t: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [
+            pl.BlockSpec((nb, m_pad, tile_b), lambda g, l, t: (g, 0, t),
+                         memory_space=pltpu.VMEM),
+            const3(scale.shape[1:] + (1,)),
+            const3(off.shape[1:] + (1,)),
+            pl.BlockSpec((nb, 4, C, tile_b), lambda g, l, t: (g, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            const3((C, 1)),
+        ]
+        + [const3(a.shape[1:]) for a in (
+            list(wm) + list(bm) + list(pm) + list(pbm)
+            + list(em) + list(ebm) + list(lm) + list(lbm)
+        )]
+    )
+    out_arrs = list(wm) + list(bm) + list(pm) + list(pbm)
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in out_arrs]
+    out_specs = [const3(a.shape[1:]) for a in out_arrs]
+    # scratch per branch-in-block, order matching the kernel's sref layout:
+    # w(L), bias(L-1), pw(L), pb(L-1), gw(L), gb(L-1), aw(L), ab(L-1)
+    w_shapes = [a.shape[1:] for a in wm]
+    b_shapes = [a.shape[1:] for a in bm]
+    scratch = []
+    for _b in range(nb):
+        for _kind in range(4):  # (w, pw, gw, aw) each followed by its bias
+            scratch += [pltpu.VMEM(s, jnp.float32) for s in w_shapes]
+            scratch += [pltpu.VMEM(s, jnp.float32) for s in b_shapes]
+
+    kern = functools.partial(
+        _traj_kernel_packed_stream, act, n, B_pad, L_steps, L, C, nb,
+        in_dtype, l1, tile_b, n_tiles,
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(G // nb, L_steps + 1, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        bytes_g, scale[:, :, None], off[:, :, None], targets_part, em3,
+        *wm, *bm, *pm, *pbm, *em, *ebm, *lm, *lbm,
+    )
+
+    nw, nb_ = L, L - 1
+    w_f = tuple(
+        _unmerge_wt(res[l], weights[l]) for l in range(L - 1)
+    ) + (res[L - 1].reshape(weights[-1].shape),)
+    b_f = tuple(res[nw + l].reshape(biases[l].shape) for l in range(nb_))
+    pw_f = tuple(
+        _unmerge_wt(res[nw + nb_ + l], weights[l]) for l in range(L - 1)
+    ) + (res[nw + nb_ + L - 1].reshape(weights[-1].shape),)
+    pb_f = tuple(
+        res[2 * nw + nb_ + l].reshape(biases[l].shape) for l in range(nb_)
+    )
+    return w_f, b_f, pw_f, pb_f
 
 
 @functools.partial(
@@ -828,19 +1235,48 @@ def integrate_chains_packed(
     tile_b = min(tile_b, -(-B_bytes // 128) * 128)
     out_max = max(w.shape[-1] for w in weights[:-1]) if len(weights) > 1 \
         else weights[0].shape[-1]
-    nb, tile_b = _pick_nb_packed(
-        G, m_pad, B_bytes, C, max(out_max, 8), tile_b
-    )
-    perm = jnp.asarray(_part_perm(B_bytes))
-    n4 = 4 * B_bytes
+    # bytes-resident when one branch's block fits the VMEM budget (one X
+    # stream per TRAJECTORY); otherwise the grid-streamed variant (one X
+    # stream per STEP, any n — the UKB-460k regime)
+    stream = os.environ.get("RS_BANN_TRAJ_STREAM", "").lower() in (
+        "1", "on", "true",
+    ) or not packed_fits_vmem(m_pad, B_bytes, C)
+    if stream:
+        nb, tile_b = _pick_nb_stream(G, m_pad, C, max(out_max, 8), tile_b)
+    else:
+        nb, tile_b = _pick_nb_packed(
+            G, m_pad, B_bytes, C, max(out_max, 8), tile_b
+        )
+    # uniform tile widths for the in-kernel tile loop: pad the byte columns
+    # to a tile multiple with 0x55 (four 01 codes -> decode 0); the padded
+    # individuals' indices land >= n, so the err mask zeroes them
+    B_pad = -(-B_bytes // tile_b) * tile_b
+    if B_pad != B_bytes:
+        bytes_g = jnp.pad(
+            bytes_g, ((0, 0), (0, 0), (0, B_pad - B_bytes)),
+            constant_values=0x55,
+        )
+    perm = jnp.asarray(_part_perm(B_pad))
+    n4 = 4 * B_pad
     tgt_pad = jnp.zeros((G, C, n4), jnp.float32).at[:, :, :n].set(targets)
     tgt_perm = jnp.take(tgt_pad, perm, axis=2)
     off = shift * w_scale
-    return _traj_chains_packed_impl(
-        bytes_g, w_scale, off, tgt_perm, jnp.asarray(err, jnp.float32),
+    args = (
         tuple(weights), tuple(biases), tuple(p_w), tuple(p_b), tuple(eps_w),
         tuple(eps_b), tuple(lam_w), tuple(lam_b), act_name, int(L_steps),
         interpret, in_dtype, bool(l1), C, nb, int(n), tile_b,
+    )
+    if stream:
+        tgt_part = jnp.swapaxes(
+            tgt_perm.reshape(G, C, 4, B_pad), 1, 2
+        )  # [G, 4, C, B_pad]
+        return _traj_chains_packed_stream_impl(
+            bytes_g, w_scale, off, tgt_part, jnp.asarray(err, jnp.float32),
+            *args,
+        )
+    return _traj_chains_packed_impl(
+        bytes_g, w_scale, off, tgt_perm, jnp.asarray(err, jnp.float32),
+        *args,
     )
 
 

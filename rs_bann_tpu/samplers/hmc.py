@@ -970,17 +970,14 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
         )
         flat = lambda t: jax.tree.leaves(t)
         is_packed = isinstance(x, D.PackedX)
+        # packed folds at any size (resident or grid-streamed kernel,
+        # integrate_chains_packed picks); dense needs the resident block
         x_ok = (
             isinstance(x, D.FeatX)
             and leapfrog.x_fits_vmem(
                 x.xT.shape[-2], x.xT.shape[-1], targets.shape[0]
             )
-        ) or (
-            is_packed
-            and leapfrog.packed_fits_vmem(
-                x.bytes.shape[-2], x.bytes.shape[-1], targets.shape[0]
-            )
-        )
+        ) or is_packed
         foldable = (
             lean_ok
             and leapfrog.fold_enabled()

@@ -24,16 +24,24 @@ def _interpret():
 
 
 @pytest.mark.parametrize(
-    "act,l1,n,depth",
+    "act,l1,n,depth,stream",
     [
-        ("tanh", False, 1024, 1),
+        ("tanh", False, 1024, 1, False),
         # n not a multiple of the 512-individual pack group: pins the
         # in-kernel validity mask over the pack padding
-        ("identity", False, 700, 0),
-        ("identity", True, 1536, 0),
+        ("identity", False, 700, 0, False),
+        ("identity", True, 1536, 0, False),
+        # grid-streamed variant (bytes in HBM-style tiles, scratch-resident
+        # state): the UKB-460k path; forced via env on small shapes
+        ("tanh", False, 1024, 1, True),
+        ("identity", False, 700, 0, True),
+        ("identity", True, 1536, 0, True),
     ],
 )
-def test_integrate_chains_packed_matches_autodiff(act, l1, n, depth):
+def test_integrate_chains_packed_matches_autodiff(act, l1, n, depth, stream,
+                                                  monkeypatch):
+    if stream:
+        monkeypatch.setenv("RS_BANN_TRAJ_STREAM", "1")
     rng = np.random.default_rng(1)
     G, C, m, h, s, L_steps = 2, 3, 12, 8, 8, 4
     m_pad = 16
