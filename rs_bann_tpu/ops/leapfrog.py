@@ -51,6 +51,15 @@ from .branch_mlp import _act, _act_prime, _bd, _cast_for
 _TILE_N = 4096
 
 
+def _tile_n_dense():
+    """Dense trajectory-kernel n tile (RS_BANN_TRAJ_TN overrides): 4096 is
+    the measured flagship optimum at NB=1; NB=2 needs 2048 to fit the
+    Mosaic scoped-value stack (r4: 4096 x nb=2 exceeded it by 112 KB)."""
+    import os
+
+    return int(os.environ.get("RS_BANN_TRAJ_TN", _TILE_N))
+
+
 def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
     """Grid (G // NB,). Ref layout (leading size-NB branch block dim):
       in:  x [NB, m_pad, n], target [NB, C, n], err [NB, C, 1],
@@ -87,7 +96,7 @@ def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
     opb_refs = refs[i : i + nbias]; i += nbias
 
     cast = _cast_for(in_dtype)
-    tile = min(_TILE_N, -(-n // 128) * 128)
+    tile = min(_tile_n_dense(), -(-n // 128) * 128)
     n_tiles = -(-n // tile)
 
     xs_all = [x_ref[b] for b in range(NB)]   # [m_pad, n], VMEM all L steps
@@ -154,6 +163,15 @@ def _traj_kernel(act, n, L_steps, depth1, C, NB, in_dtype, l1, *refs):
                 for b in B:
                     zs[b].append(z[b])
                     acts[b].append(_act(act, z[b]))
+            # NOTE (r5 attribution experiments): replacing this epilogue's
+            # five [C*s, tile] VPU passes by three small MXU dots (pred /
+            # dW_out / da as blockdiag(w_out) contractions) measured 15%
+            # SLOWER (28.6 vs 24.8 ms/sweep) — the tiny-contraction f32
+            # dots cost more than the VPU chain. Together with NB=2
+            # interleaving (<=4%) and the activation swap (tanh->identity
+            # 12%), the folded flagship kernel is BALANCED across MXU
+            # issue, VPU elementwise and the per-step dependency chain —
+            # no single >25% lever short of an architecture change.
             e_t = []
             for b in B:
                 contrib = w_out[b] * acts[b][-1]             # [C*s, w_t]
@@ -335,9 +353,9 @@ def _pick_nb_traj(G, m_pad, n, C, out_max):
         nb -= 1
     # scoped-VMEM guard: Mosaic's kernel value stack is limited to 16 MB
     # (measured: flagship C=4/h=32/tile=4096 at nb=2 exceeds it by 112 KB;
-    # the genome shape C=4/s=8 at nb=2 fits and runs on chip). ~6 live
+    # RS_BANN_TRAJ_TN=2048 makes nb=2 fit there). ~6 live
     # [C*out, tile] f32 working arrays per branch.
-    tile = min(_TILE_N, -(-n // 128) * 128)
+    tile = min(_tile_n_dense(), -(-n // 128) * 128)
     per_branch = 6 * C * max(out_max, 8) * tile * 4
     while nb > 1 and nb * per_branch > 14 * 2**20:
         nb -= 1
