@@ -92,6 +92,16 @@ def _add_mcmc_args(p: argparse.ArgumentParser):
                    default="sequential")
     p.add_argument("--block-size", type=int, default=0,
                    help="hybrid mode: branches per parallel block")
+    p.add_argument("--lam-e-floor", type=float, default=0.01,
+                   help="divergence guard: floor the error precision at "
+                   "this / var(y) (0 disables; identity for healthy chains)")
+    p.add_argument("--lam-row-floor", type=float, default=1e-6,
+                   help="divergence guard: floor local weight/bias "
+                   "precisions (0 disables)")
+    p.add_argument("--per-chain-block-perm", action="store_true",
+                   help="hybrid mode: draw each chain's block permutation "
+                   "from its own carry key (pre-r5 behavior; disables the "
+                   "chain-folded trajectory kernel for hybrid)")
     p.add_argument("--gd-warmup", type=int, default=0,
                    help="gradient-descent sweeps before sampling (MAP start)")
     p.add_argument("--mass-adaptation", action="store_true",
@@ -243,6 +253,9 @@ def _mcmc_cfg_from_args(args, outpath: str):
         seed=args.seed,
         update_mode=args.update_mode,
         block_size=args.block_size,
+        lam_e_floor=args.lam_e_floor,
+        lam_row_floor=args.lam_row_floor,
+        hybrid_shared_perm=not args.per_chain_block_perm,
         gd_warmup=args.gd_warmup,
         mass_adaptation=args.mass_adaptation,
         tempering=args.tempering,

@@ -730,7 +730,7 @@ def chain_fold_eligible(model_type: str, act: str, cfg: MCMCCfg, X) -> bool:
         and cfg.live_accept
         and not (cfg.joint_hmc or cfg.gradient_descent
                  or cfg.gradient_descent_joint)
-        and not (cfg.spike_slab or cfg.ss_markers or cfg.ss_rows)
+        and not (cfg.spike_slab or cfg.ss_rows)
         and not cfg.trajectories
         and not (cfg.num_grad or cfg.num_grad_traj)
         and cfg.hmc_traj_length_mode == "fixed"
@@ -838,13 +838,17 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
     else:
         # exact parallel/hybrid schedules: parallel stale-potential
         # trajectories + sequential live-residual accepts (HMCProposal doc).
-        # The spike-and-slab paths mutate params between the prediction
-        # snapshot and the HMC call, which breaks the y_pred0 == preds[g]
-        # identity the live accept relies on — they keep the stale accept.
+        # The branch-level spike-and-slab paths mutate params between the
+        # prediction snapshot and the HMC call, which breaks the
+        # y_pred0 == preds[g] identity the live accept relies on — they
+        # keep the stale accept. The per-marker path (ssm) REBASES the
+        # snapshot predictions after its collapsed scan instead (r5), so
+        # the production ssm recipe gets the exact live accept AND the
+        # chain-folded trajectory kernel.
         live_accept = (
             cfg.live_accept
             and cfg.update_mode in ("parallel", "hybrid")
-            and not (ss_on or ssm_on or ssr_on)
+            and not (ss_on or ssr_on)
         )
         transition = make_hmc_step(
             model_type, act, cfg, freeze_output=ss_on,
@@ -1296,8 +1300,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
 
         def body(r, i):
             g = order[i]
-            rss_old = jnp.sum(r * r)
             tgt = r + preds_blk[g]
+            # rss at BOTH endpoints through the transition's own prediction
+            # operator (samplers/hmc.HMCProposal.y_pred0): on TPU,
+            # ||r||^2 would evaluate the initial state under the sweep's
+            # D.predict operator while the proposal uses the vg kernel's —
+            # the bf16 operator mismatch is a measured noisy-MH drift at
+            # n >= 1e5 (r5)
+            d0 = tgt - prop.y_pred0[g]
+            rss_old = jnp.sum(d0 * d0)
             d = tgt - prop.y_pred_prop[g]
             rss_new = jnp.sum(d * d)
             log_acc = (
@@ -1458,6 +1469,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 params.weights, params.biases, X
             )  # [G, n]
         targets = carry.residual[None, :] + preds  # y - bias - sum_{g'!=g} pred
+        residual = carry.residual
 
         ssm_z = carry.ssm_z
         if z_r_all is not None:  # ss_rows indicators share the ssm slots
@@ -1492,6 +1504,17 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 A_all = jax.vmap(
                     lambda w, b, x: D.summary_acts(act, w, b, x)
                 )(params.weights, params.biases, X)
+            if live_accept:
+                # rebase the snapshot to the post-scan state so the live
+                # accept's y_pred0 == preds[g] identity holds; the residual
+                # absorbs the scan's prediction change (r5 — this is what
+                # lets the ssm production recipe run the exact live-accept
+                # kernel and the chain-folded trajectory dispatch)
+                preds_mid = jax.vmap(
+                    lambda w, b, x: D.predict(act, w, b, x)
+                )(params.weights, params.biases, X)
+                residual = residual + jnp.sum(preds - preds_mid, axis=0)
+                preds = preds_mid
 
         if ssr_on:
             # whitened scaled-flip MH, vmapped over branches (k_ssm is
@@ -1597,7 +1620,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 out = transition_batch(
                     hmc_keys, params.weights, params.biases, wp, bp,
                     err_hmc, X, targets, masks_w, masks_b,
-                    statics.n_params, step_factors, m_w, m_b,
+                    statics.n_params, step_factors, m_w, m_b, z_m,
                 )
             else:
                 out = jax.vmap(one)(
@@ -1626,7 +1649,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 # res is an HMCProposal batch: accepts run sequentially
                 # against the live residual (exact kernel; HMCProposal doc)
                 res = _live_accept_select(
-                    k_lacc, carry.residual, preds, res, err_hmc,
+                    k_lacc, residual, preds, res, err_hmc,
                     params.weights, params.biases,
                 )
         res_weights, res_biases, y_pred_new = res.weights, res.biases, res.y_pred
@@ -1653,7 +1676,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             y_pred_new = jnp.where(inc[:, None], res.y_pred, 0.0)
         params = StackedParams(res_weights, res_biases)
         precisions = StackedPrecisions(wp, bp, err_prec)
-        residual = carry.residual + jnp.sum(preds - y_pred_new, axis=0)
+        residual = residual + jnp.sum(preds - y_pred_new, axis=0)
 
         tl_avg = carry.tl_avg
         if uturn_adapt:
@@ -1915,6 +1938,15 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     A_blk = jax.vmap(
                         lambda w, b, x: D.summary_acts(act, w, b, x)
                     )(w_b, b_b, x_b)
+                if live_accept:
+                    # rebase to the post-scan state (see sweep_parallel):
+                    # keeps the live accept's y_pred0 == preds[g] identity
+                    # and lets the ssm block fold into the trajectory kernel
+                    preds_mid = jax.vmap(
+                        lambda w, b, x: D.predict(act, w, b, x)
+                    )(w_b, b_b, x_b)
+                    residual = residual + jnp.sum(preds - preds_mid, axis=0)
+                    preds = preds_mid
 
             if ssr_on:
                 # whitened scaled-flip MH for the block (k_ssm unused when
@@ -2030,7 +2062,7 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                         targets,
                         tuple(m[ixs] for m in masks_w),
                         tuple(m[ixs] for m in masks_b),
-                        statics.n_params[ixs], step_factors, m_w, m_b,
+                        statics.n_params[ixs], step_factors, m_w, m_b, z_m,
                     )
                 else:
                     out = jax.vmap(one)(

@@ -599,16 +599,22 @@ def _vg_packed_for(act, interpret, in_dtype, n):
     return vg
 
 
-def data_vg_packed(act_name, x, weights, biases, target):
+def data_vg_packed(act_name, x, weights, biases, target, f32=False):
     """Packed-genotype fused vg: same contract as data_vg but ``x`` is a
     PackedX (models/density.py). Standardization is folded into layer 0
     before the kernel (W0' = scale*W0; offset -shift@W0' into the bias) and
     the cotangents are unfolded after:
 
         dU/dW0[m,j] = s_m*dW0'[m,j] - mu_m*s_m*doff_j,    dU/db0 = doff
+
+    ``f32=True`` keeps the dots in f32 (6-pass MXU) — used for VALUE passes
+    whose results feed Metropolis accept ratios: bf16 prediction noise in a
+    length-n rss is O(sqrt(n)) in the log-acceptance, and a noisy-MH accept
+    drifts the chain toward noise-favored states (measured r5: live-accept
+    runs at n>=1e5 degrade with bf16 values, healthy with f32).
     """
     interpret = FORCE == "interpret"
-    in_dtype = None if interpret else "bfloat16"
+    in_dtype = None if (interpret or f32) else "bfloat16"
     s = x.w_scale
     w0p = s[:, None] * weights[0]
     off = biases[0] - x.shift @ w0p
@@ -805,16 +811,19 @@ def _data_vg_chains_impl(xT, target, weights, biases, act, interpret,
     return y_pred, rss, dws, dbs
 
 
-def data_vg_chains(act_name, xT, weights, biases, target):
+def data_vg_chains(act_name, xT, weights, biases, target, f32=False):
     """Chain-folded fused vg: one X stream per call for ALL chains.
 
     xT [G, m_pad, n] feature-major dense (bf16 or f32); weights[l]
     [G, C, in_pad, out_pad]; biases[l] [G, C, out_pad]; target [G, C, n].
     Returns (y_pred [G, C, n], rss [G, C], dW tuple, db tuple) with
     dW/db = d(rss/2)/d(.) in the input layouts.
+
+    ``f32=True``: f32 dots for accept-ratio value passes (see
+    data_vg_packed).
     """
     interpret = FORCE == "interpret"
-    in_dtype = None if interpret else "bfloat16"
+    in_dtype = None if (interpret or f32) else "bfloat16"
     C = target.shape[1]
     return _data_vg_chains_impl(
         xT, target, tuple(weights), tuple(biases), act_name, interpret,

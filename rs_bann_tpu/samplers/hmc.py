@@ -80,6 +80,17 @@ class HMCProposal(NamedTuple):
     weights: tuple  # proposal θ' (frozen pre-divergence state when dead)
     biases: tuple
     y_pred_prop: jax.Array  # [n] branch prediction at θ'
+    # [n] branch prediction at θ (the SAME prediction operator as
+    # y_pred_prop). The live accept computes rss_old from this, NOT from
+    # the bookkept snapshot prediction: on TPU the default-precision dots
+    # round operands to bf16, so the transition's operator f̂ and the
+    # sweep's D.predict operator differ by a state-dependent δ(θ) with
+    # λ·Σ e·δ up to several log-units at n >= 1e5 — mixing operators
+    # inside one accept ratio is a noisy-MH bias that measurably drifts
+    # the chain (r5: n=100k live-accept runs degraded to r2 0.13 vs 0.34
+    # stale; CPU f32 runs, where the operators coincide, were healthy).
+    # Using f̂ at BOTH endpoints makes the ratio exact for the f̂ model.
+    y_pred0: jax.Array
     prior_prop: jax.Array  # marginal log-prior terms at θ'
     prior0: jax.Array  # ... at θ
     kin_prop: jax.Array  # K(p_final)
@@ -244,12 +255,17 @@ def make_hmc_step(
     # (slightly HIGHER acceptance, still exact). u-turn tracking is only
     # needed by the uturn-adaptive trajectory-length mode, which keeps the
     # default body.
+    import os as _os
+
     lean_ok = (
         defer_accept
         and not record
         and not cfg.num_grad
         and not cfg.num_grad_traj
         and cfg.hmc_traj_length_mode == "fixed"
+        and _os.environ.get("RS_BANN_LEAN", "").lower() not in (
+            "0", "off", "false",
+        )
     )
 
     def potential(weights, biases, w_precisions, error_precision, x, y):
@@ -418,10 +434,11 @@ def make_hmc_step(
                 lean_body, (weights, biases, p_w, p_b, g_w, g_b), None,
                 length=L,
             )
-            # one value-only forward at the end replaces carrying
-            # (ld, y_pred, prior) through the scan — ~1/(3L) of the leapfrog
-            # cost, and the final X tile is already VMEM-resident
-            ld_f, (yp_f, pri_f) = potential(
+            # final value through the SAME vg operator as the initial one
+            # (an extra backward vs a value-only pass, ~1/(3L) of the
+            # leapfrog cost) so y_pred0/y_pred_prop share the operator —
+            # see the HMCProposal.y_pred0 note
+            (ld_f, (yp_f, pri_f)), _ = vg(
                 w_f, b_f, w_precisions, error_precision, x, y
             )
             kin_f = _kinetic(pw_f, pb_f)
@@ -430,6 +447,7 @@ def make_hmc_step(
                 weights=w_f,
                 biases=b_f,
                 y_pred_prop=yp_f,
+                y_pred0=y_pred0,
                 prior_prop=pri_f,
                 prior0=prior0,
                 kin_prop=kin_f,
@@ -511,6 +529,7 @@ def make_hmc_step(
                 weights=w_f,
                 biases=b_f,
                 y_pred_prop=yp_f,
+                y_pred0=y_pred0,
                 prior_prop=pri_f,
                 prior0=prior0,
                 kin_prop=_kinetic(pw_f, pb_f),
@@ -923,9 +942,14 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
 
     Returned signature (leading-[G] arrays; per-sweep scalars unbatched):
       fn(keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
-         masks_w, masks_b, n_params, step_factors, mass_w, mass_b)
+         masks_w, masks_b, n_params, step_factors, mass_w, mass_b,
+         row_freeze)
         -> HMCProposal batch ([G] leaves)
     ``mass_w``/``mass_b`` are None when mass adaptation is off.
+    ``row_freeze`` ([G, in_pad] or None): per-marker spike-and-slab row
+    pins — excluded layer-0 rows get zero step size AND zero momentum,
+    exactly the per-branch hmc's row_freeze semantics, so the folded
+    production ssm recipe stays draw-compatible.
     """
     from jax.custom_batching import custom_vmap
 
@@ -938,12 +962,15 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
     adaptive = cfg.hmc_step_size_mode == "dual_averaging"
 
     def base(keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
-             masks_w, masks_b, n_params, step_factors, mass_w, mass_b):
+             masks_w, masks_b, n_params, step_factors, mass_w, mass_b,
+             row_freeze):
         def one(k, w_g, b_g, wp_g, bp_g, x_g, t_g, mw_g, mb_g, npar, fac,
-                msw, msb):
+                msw, msb, rf):
             kw = {}
             if msw is not None:
                 kw["mass_w"], kw["mass_b"] = msw, msb
+            if rf is not None:
+                kw["row_freeze"] = rf
             return transition(
                 k, w_g, b_g, wp_g, bp_g, err_prec, x_g, t_g, mw_g, mb_g,
                 npar, fac if adaptive else None, **kw,
@@ -951,7 +978,7 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
 
         return jax.vmap(one)(
             keys, weights, biases, w_prec, b_prec, x, targets, masks_w,
-            masks_b, n_params, step_factors, mass_w, mass_b,
+            masks_b, n_params, step_factors, mass_w, mass_b, row_freeze,
         )
 
     base_cv = custom_vmap(base)
@@ -959,14 +986,14 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
     @base_cv.def_vmap
     def _chain_rule(axis_size, in_batched, keys, weights, biases, w_prec,
                     b_prec, err_prec, x, targets, masks_w, masks_b, n_params,
-                    step_factors, mass_w, mass_b):
+                    step_factors, mass_w, mass_b, row_freeze):
         (kb, wb, bb, wpb, bpb, eb, xb, tb, mwb, mbb, npb, sfb, mswb,
-         msbb) = in_batched
+         msbb, rfb) = in_batched
         prop_batched = HMCProposal(
             weights=tuple(True for _ in weights),
             biases=tuple(True for _ in biases),
-            y_pred_prop=True, prior_prop=True, prior0=True, kin_prop=True,
-            kin0=True, dead=True, uturn_step=True,
+            y_pred_prop=True, y_pred0=True, prior_prop=True, prior0=True,
+            kin_prop=True, kin0=True, dead=True, uturn_step=True,
         )
         flat = lambda t: jax.tree.leaves(t)
         is_packed = isinstance(x, D.PackedX)
@@ -998,6 +1025,7 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
             out = jax.vmap(base, in_axes=tuple(axes))(
                 keys, weights, biases, w_prec, b_prec, err_prec, x, targets,
                 masks_w, masks_b, n_params, step_factors, mass_w, mass_b,
+                row_freeze,
             )
             return out, prop_batched
 
@@ -1027,15 +1055,36 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
         has_mass = mass_w is not None
         msw_gc = t_opt(mass_w, mswb) if has_mass else None
         msb_gc = t_opt(mass_b, msbb) if has_mass else None
+        has_rf = row_freeze is not None
+        if has_rf:
+            rf_gc = (
+                jnp.swapaxes(row_freeze, 0, 1) if rfb
+                else jnp.broadcast_to(
+                    row_freeze[:, None], (G, C) + row_freeze.shape[1:]
+                )
+            )
+        else:
+            rf_gc = None
 
         # per-(g, c) key splits, step sizes, masked momenta — the per-branch
         # hmc's exact derivations, so folded == base draw-for-draw
-        def prep_gc(k, w1, b1, wp1, bp1, npar, fac1, msw1, msb1, mw, mb):
+        def prep_gc(k, w1, b1, wp1, bp1, npar, fac1, msw1, msb1, mw, mb,
+                    rf1):
             k_eps, k_mom, _ = jax.random.split(k, 3)
             eps_w, eps_b = step_sizes(
                 k_eps, model_type, cfg, w1, b1, wp1, bp1, npar,
                 fac1 if adaptive else None, msw1, msb1,
             )
+            if has_rf:
+                # per-marker spike-and-slab row pins, mirroring the
+                # per-branch hmc's row_freeze: where-not-multiply (an
+                # excluded row's prior-drawn ARD precision can make its
+                # izmailov eps infinite; inf*0 is NaN)
+                fr = rf1[:, None]
+                eps_w = (jnp.where(fr > 0, eps_w[0], 0.0),) + tuple(
+                    eps_w[1:]
+                )
+                mw = (mw[0] * fr,) + tuple(mw[1:])
             mkeys = jax.random.split(k_mom, len(w1) + len(b1))
             p_w = tuple(
                 jax.random.normal(kk, w.shape) * m
@@ -1055,17 +1104,18 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
 
         fax = 0 if adaptive else None
         max_ = 0 if has_mass else None
+        rfx = 0 if has_rf else None
         inner = jax.vmap(
             prep_gc,
-            in_axes=(0, 0, 0, 0, 0, None, fax, max_, max_, None, None),
+            in_axes=(0, 0, 0, 0, 0, None, fax, max_, max_, None, None, rfx),
         )
         outer = jax.vmap(
             inner,
-            in_axes=(0, 0, 0, 0, 0, 0, fax, max_, max_, 0, 0),
+            in_axes=(0, 0, 0, 0, 0, 0, fax, max_, max_, 0, 0, rfx),
         )
         eps_w, eps_b, p_w, p_b = outer(
             keys_gc, w_gc, b_gc, wp_gc, bp_gc, n_params, fac_gc,
-            msw_gc, msb_gc, masks_w, masks_b,
+            msw_gc, msb_gc, masks_w, masks_b, rf_gc,
         )
 
         # prior precision factors in weight layout: grad = -lam*w
@@ -1107,8 +1157,9 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
                     w_c, b_c, tc = args
 
                     def per_branch(x_g, w_g, b_g, t_g):
+                        # f32 values: these feed H0/Hf and the live accept
                         yp, rss, _, _ = branch_mlp.data_vg_packed(
-                            act_name, x_g, w_g, b_g, t_g
+                            act_name, x_g, w_g, b_g, t_g, f32=True
                         )
                         return yp, rss
 
@@ -1123,12 +1174,13 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
             vg_all = vg_all_packed
         else:
             def vg_all(w_gc_, b_gc_):
+                # f32 values: these feed H0/Hf and the live accept
                 yp, rss, _, _ = branch_mlp.data_vg_chains(
-                    act_name, x.xT, w_gc_, b_gc_, tgt_gc
+                    act_name, x.xT, w_gc_, b_gc_, tgt_gc, f32=True
                 )
                 return yp, rss
 
-        _, rss0 = vg_all(w_gc, b_gc)
+        yp0, rss0 = vg_all(w_gc, b_gc)
         pri0 = prior_gc(w_gc, b_gc, wp_gc)          # [G, C]
         kin0 = kin(p_w, p_b)
         neg_h0 = (pri0 - err_gc * rss0 / 2.0) - kin0
@@ -1159,6 +1211,7 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
             weights=back(w_f),
             biases=back(b_f),
             y_pred_prop=back(yp_f),
+            y_pred0=back(yp0),
             prior_prop=back(pri_f),
             prior0=back(pri0),
             kin_prop=back(kin_f),

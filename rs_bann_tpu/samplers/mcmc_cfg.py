@@ -84,13 +84,19 @@ class MCMCCfg:
     # informative likelihood and the conjugate coefficient draws contract it
     # back. Statistically this truncates the lambda_e prior support at the
     # floor. 0 disables.
-    lam_row_floor: float = 1e-6  # divergence guard, second loop: floor the
-    # Gibbs-drawn local weight/bias precisions (incl. ARD per-row lambdas).
-    # The near-improper CLI-default hyperprior makes the slab scale-free for
-    # huge |w| (lambda ~ 1/w^2: the slab follows the explosion up) and the
-    # izmailov step size eps ~ 1/sqrt(lambda) diverges with it. Healthy
-    # lambdas are orders of magnitude above 1e-6, so draws are bitwise
-    # unchanged outside the pathology. 0 disables.
+    lam_row_floor: float = 0.01  # divergence guard, second loop: floor the
+    # Gibbs-drawn local weight/bias precisions (incl. ARD per-row lambdas),
+    # i.e. cap every weight-group prior std at 1/sqrt(floor) = 10. This cuts
+    # the SCALE-DEGENERACY RIDGE of the identity depth-0 architecture
+    # (predictions are invariant under W0 -> c W0, w_out -> w_out/c; the
+    # near-improper Gamma(0.001, 1000) hyperprior lets lambda_row chase a
+    # growing row down — measured r5 at n=1e5: rows slide to |W| ~ 1e3 with
+    # lambda_row pinned at the old 1e-6 floor while mse still looks fine,
+    # then bf16 trajectory noise on the huge intermediates destroys the
+    # run; this IS r4's recorded "lambda_e spiral" divergence mode).
+    # Standardized-genotype effect scales are <= O(1), so healthy lambdas
+    # sit orders of magnitude above 0.01 and draws are bitwise unchanged
+    # outside the pathology. 0 disables.
     live_accept: bool = True  # TPU extension (parallel/hybrid marginal HMC):
     # integrate all branch trajectories in parallel against the FROZEN
     # residual (the expensive leapfrogs stay batched on the MXU), but run

@@ -119,6 +119,13 @@ def main(argv=None):
     ap.add_argument("--epistasis", type=float, default=0.0,
                     help="fraction of genetic variance from within-group "
                     "pairwise interaction terms (0 = purely additive)")
+    ap.add_argument("--interactions", type=int, default=0,
+                    help="append the top-K within-branch pairwise product "
+                    "features per branch (screened by |corr(x_a*x_b, y)| "
+                    "on the training data - sure-independence screening "
+                    "for interactions). Makes pure-epistatic truth "
+                    "(--epistasis 1.0) representable by the identity "
+                    "model; dense paths only")
     ap.add_argument("--causal-branches", type=int, default=0,
                     help="confine causal markers to this many random "
                     "branches (0 = diffuse over all)")
@@ -176,6 +183,15 @@ def main(argv=None):
                     help="dense feature-major bf16 genotypes [G, m_pad, n] "
                     "(8x the packed HBM footprint but no per-step 2-bit "
                     "decode; fits to ~n=100k at 10k SNPs on 16 GB)")
+    ap.add_argument("--no-live-accept", action="store_true",
+                    help="restore the stale-residual accept for the "
+                    "parallel/hybrid schedules (pre-r3 approximate kernel; "
+                    "bisection/debug aid)")
+    ap.add_argument("--checkpoint-interval", type=int, default=0,
+                    help="write <outdir>/checkpoint.npz every N iterations "
+                    "(full carry incl. RNG state; resumes bit-for-bit)")
+    ap.add_argument("--resume-from", default=None,
+                    help="checkpoint.npz to restore and continue from")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--outdir", default=None, help="keep run artifacts here")
     ap.add_argument("--json-out", default=None, help="append result line here")
@@ -261,6 +277,8 @@ def main(argv=None):
         "num_chains": args.num_chains,
         "seeds": [args.seed_truth, args.seed_init, args.seed_mcmc],
     }
+    if args.resume_from:
+        rec["resumed_from"] = args.resume_from
 
     if args.blup:
         t0 = time.time()
@@ -270,12 +288,53 @@ def main(argv=None):
 
     G = args.branches
     m = args.snps // G
+    cols_tr = None if X_tr is None else [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
+    cols_te = None if X_te is None else [X_te[:, g * m:(g + 1) * m] for g in range(G)]
+    if args.interactions > 0:
+        assert not args.packed, "--interactions needs a dense path"
+        assert cols_tr is not None
+        K = args.interactions
+        yc = (y_tr - y_tr.mean()) / y_tr.std()
+        n_scr = len(yc)
+        kept_pairs = []
+        for g in range(G):
+            Z = cols_tr[g].astype(np.float32)
+            mu, sd = Z.mean(0), Z.std(0)
+            Z = (Z - mu) / np.where(sd > 0, sd, 1.0)
+            # all m(m-1)/2 products' correlation with y, vectorized:
+            # corr(z_a z_b, y) ∝ (z_a ⊙ z_b)·y = sum_i z_ia z_ib y_i
+            # = (Zᵀ diag(y) Z)[a, b]
+            S = Z.T @ (Z * yc[:, None]) / n_scr          # E[z_a z_b y]
+            P2 = (Z * Z).T @ (Z * Z) / n_scr             # E[(z_a z_b)^2]
+            M = Z.T @ Z / n_scr                          # E[z_a z_b]
+            # |corr(z_a z_b, y)| (y standardized): the product's mean is
+            # the marker correlation, its variance P2 - M^2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C2 = np.abs(S - M * 0.0) / np.sqrt(
+                    np.maximum(P2 - M * M, 1e-9)
+                )
+            iu = np.triu_indices(Z.shape[1], 1)
+            score = C2[iu]
+            top = np.argsort(-score)[:K]
+            pairs = [(iu[0][t], iu[1][t]) for t in top]
+            kept_pairs.append((pairs, mu, sd))
+            prod_tr = np.stack(
+                [Z[:, a] * Z[:, b] for a, b in pairs], axis=1
+            ).astype(np.float32)
+            cols_tr[g] = np.concatenate([cols_tr[g], prod_tr], axis=1)
+            Zt = (cols_te[g].astype(np.float32) - mu) / np.where(sd > 0, sd, 1.0)
+            prod_te = np.stack(
+                [Zt[:, a] * Zt[:, b] for a, b in pairs], axis=1
+            ).astype(np.float32)
+            cols_te[g] = np.concatenate([cols_te[g], prod_te], axis=1)
+        m = m + K
+        rec["interactions"] = K
+        print(f"interaction screening: +{K} product features/branch "
+              f"(input width {m})", file=sys.stderr, flush=True)
     arch = NetArch.uniform(
         G, m, args.hidden_width, args.depth, args.summary_width,
         activation=args.activation,
     )
-    cols_tr = None if X_tr is None else [X_tr[:, g * m:(g + 1) * m] for g in range(G)]
-    cols_te = None if X_te is None else [X_te[:, g * m:(g + 1) * m] for g in range(G)]
     if args.packed:
         # 2-bit packed HBM-resident train genotypes; standardization folds
         # into the fused decode kernel (scale = 1/sigma, shift = mu)
@@ -370,11 +429,16 @@ def main(argv=None):
         tempering=args.tempering,
         max_temperature=args.max_temperature,
         num_chains=args.num_chains,
+        live_accept=not args.no_live_accept,
         outpath=outdir,
         seed=args.seed_mcmc,
     )
     t0 = time.time()
-    net, stats = train(net, dtr, cfg, test_data=dte, verbose=True)
+    net, stats = train(
+        net, dtr, cfg, test_data=dte, verbose=True,
+        checkpoint_interval=args.checkpoint_interval,
+        resume_from=args.resume_from,
+    )
     rec["wall_s"] = round(time.time() - t0, 1)
     rec["acceptance_rate"] = round(stats.acceptance_rate(), 3)
     preds = posterior_predictions(f"{outdir}/models", dte.X)

@@ -32,6 +32,7 @@ Usage: python scripts/parity_oracle.py [--reps 16] [--quick] [--merge]
 """
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -332,7 +333,7 @@ def main():
     if "joint" in only:
         _SUMMARY_W = 5
         cl, il = (20, 30) if args.quick else (150, 50)
-        G, fac = 4, 0.05
+        G, fac = 4, float(os.environ.get("PARITY_JOINT_FAC", "0.05"))
         rows_j, rows_o = [], []
         for rep in range(reps):
             td, dtr, dte, mks, Xg_tr, y_tr, Xg_te, y_te = make_workload(

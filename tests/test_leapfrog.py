@@ -286,3 +286,56 @@ def test_hybrid_chain_vmapped_sweep_matches_lax_map(packed, model_type, act,
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_ssm_hybrid_chain_vmapped_matches_lax_map():
+    """r5: the per-marker spike-and-slab production recipe now runs the
+    live-accept + chain-folded path (post-scan prediction rebase + in-fold
+    row freezing). The folded dispatch must reproduce the per-chain lax.map
+    arrangement draw-for-draw, including the spike invariant (excluded
+    rows exactly zero)."""
+    C = 2
+    net, X, y = _setup_net_packed(model_type="ridge_ard", act="identity",
+                                  depth=0, n=700)
+    cfg = MCMCCfg(
+        chain_length=1, burn_in=10**9, hmc_integration_length=4,
+        update_mode="hybrid", block_size=2, num_chains=C, seed=0,
+        ss_markers=True, ssm_pi=0.3, ssm_warmup=0,
+    )
+    assert chain_fold_eligible(net.model_type, net.arch.activation, cfg, X)
+    sweep = net.make_sweep(cfg)
+    keys = jax.random.split(jax.random.key(0), C)
+    mk_carry = jax.vmap(
+        lambda k: net.init_carry(X, y, k, ss_markers=True, ssm_pi=0.3)
+    )
+
+    folded = jax.jit(jax.vmap(sweep, in_axes=(0, None, None)))
+    ref = jax.jit(
+        lambda c, X_, y_: jax.lax.map(lambda ci: sweep(ci, X_, y_), c)
+    )
+
+    c_f, c_r = mk_carry(keys), mk_carry(keys)
+    for _ in range(3):
+        c_f, st_f = folded(c_f, X, y)
+        c_r, st_r = ref(c_r, X, y)
+    np.testing.assert_allclose(
+        np.asarray(c_f.residual), np.asarray(c_r.residual), rtol=2e-4,
+        atol=2e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_f.counts), np.asarray(st_r.counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.ssm_z), np.asarray(c_r.ssm_z)
+    )
+    # spike invariant: excluded rows' layer-0 weights are EXACTLY zero
+    W0 = np.asarray(c_f.state.params.weights[0])  # [C, G, m_pad, out]
+    z = np.asarray(c_f.ssm_z)  # [C, G, m_pad]
+    assert np.all(W0[z == 0.0] == 0.0)
+    assert np.any(z == 0.0)  # the test exercised actual exclusions
+    for a, b in zip(
+        jax.tree.leaves(c_f.state.params), jax.tree.leaves(c_r.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

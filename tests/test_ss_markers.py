@@ -355,3 +355,38 @@ def test_blocked_scan_matches_sequential_replica(packed):
     np.testing.assert_allclose(np.asarray(z_b), zs, atol=0)
     np.testing.assert_allclose(np.asarray(W0_b), W0s, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(e_b), e, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_learned_pi_converges_from_adversarial_inits(tmp_path):
+    """VERDICT r4 #8: the Beta-Bernoulli pi update must converge from FAR
+    initializations, not just a lucky one. Truth: 6 causal of 80 markers
+    (7.5%). Two chains initialized at pi=0.9 (adversarial: near-total
+    inclusion) and pi=0.02 (near-total exclusion) must both end with a
+    posterior-mean pi in a band around the true sparsity and agree with
+    each other."""
+    arch, dtr, dte, causal = _sparse_linear_problem(seed=3)
+    state, _ = init_net(arch, "ridge_ard", InitCfg(seed=1))
+    net = Net("ridge_ard", arch, D.Hyperparameters(), state)
+    pis = {}
+    for init_pi in (0.9, 0.02):
+        cfg = MCMCCfg(
+            chain_length=160, burn_in=80, hmc_integration_length=20,
+            hmc_step_size_mode="dual_averaging", update_mode="hybrid",
+            block_size=2, ss_markers=True, ssm_pi=init_pi, ssm_warmup=0,
+            outpath=str(tmp_path / f"pi{init_pi}"), seed=2,
+        )
+        n2, stats = train(net, dtr, cfg, test_data=dte, verbose=False)
+        probs = json.load(
+            open(os.path.join(str(tmp_path / f"pi{init_pi}"),
+                              "inclusion_probs"))
+        )
+        pis[init_pi] = probs["pi_markers"]
+        pip = np.concatenate([np.array(p) for p in probs["pip_markers"]])
+        # selection survives the adversarial init
+        assert pip[causal].mean() > 0.5, (init_pi, pip[causal])
+    # both runs land in a band around the true inclusion fraction (6/80 =
+    # 7.5%; the posterior mean sits near (1+nz)/(2+M)) and near each other
+    for init_pi, pi in pis.items():
+        assert 0.01 < pi < 0.35, (init_pi, pi)
+    assert abs(pis[0.9] - pis[0.02]) < 0.15, pis
