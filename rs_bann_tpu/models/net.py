@@ -1504,17 +1504,9 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                 A_all = jax.vmap(
                     lambda w, b, x: D.summary_acts(act, w, b, x)
                 )(params.weights, params.biases, X)
-            if live_accept:
-                # rebase the snapshot to the post-scan state so the live
-                # accept's y_pred0 == preds[g] identity holds; the residual
-                # absorbs the scan's prediction change (r5 — this is what
-                # lets the ssm production recipe run the exact live-accept
-                # kernel and the chain-folded trajectory dispatch)
-                preds_mid = jax.vmap(
-                    lambda w, b, x: D.predict(act, w, b, x)
-                )(params.weights, params.biases, X)
-                residual = residual + jnp.sum(preds - preds_mid, axis=0)
-                preds = preds_mid
+            # (live-accept rebase to the post-scan state happens after the
+            # transition, using the proposal's own y_pred0 — saves a full
+            # forward; see the res handling below)
 
         if ssr_on:
             # whitened scaled-flip MH, vmapped over branches (k_ssm is
@@ -1646,6 +1638,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
             else:
                 res, trajs = out, ()
             if live_accept:
+                if ssm_on:
+                    # rebase the snapshot to the post-scan state via the
+                    # proposal's OWN initial-state prediction (r5): keeps
+                    # the accept operator-consistent AND absorbs the
+                    # collapsed scan's prediction change without an extra
+                    # forward pass
+                    residual = residual + jnp.sum(
+                        preds - res.y_pred0, axis=0
+                    )
+                    preds = res.y_pred0
                 # res is an HMCProposal batch: accepts run sequentially
                 # against the live residual (exact kernel; HMCProposal doc)
                 res = _live_accept_select(
@@ -1938,15 +1940,8 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     A_blk = jax.vmap(
                         lambda w, b, x: D.summary_acts(act, w, b, x)
                     )(w_b, b_b, x_b)
-                if live_accept:
-                    # rebase to the post-scan state (see sweep_parallel):
-                    # keeps the live accept's y_pred0 == preds[g] identity
-                    # and lets the ssm block fold into the trajectory kernel
-                    preds_mid = jax.vmap(
-                        lambda w, b, x: D.predict(act, w, b, x)
-                    )(w_b, b_b, x_b)
-                    residual = residual + jnp.sum(preds - preds_mid, axis=0)
-                    preds = preds_mid
+                # (live-accept rebase moved after the transition, via the
+                # proposal's y_pred0 — see below)
 
             if ssr_on:
                 # whitened scaled-flip MH for the block (k_ssm unused when
@@ -2077,6 +2072,13 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     )
                 res, traj_blk = out if record_traj else (out, ())
                 if live_accept:
+                    if ssm_on:
+                        # rebase to the post-scan state via the proposal's
+                        # own initial-state prediction (see sweep_parallel)
+                        residual = residual + jnp.sum(
+                            preds - res.y_pred0, axis=0
+                        )
+                        preds = res.y_pred0
                     # block proposals accept sequentially against the live
                     # residual (exact kernel; HMCProposal doc)
                     res = _live_accept_select(

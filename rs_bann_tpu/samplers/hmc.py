@@ -1144,10 +1144,13 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
             )
 
         if is_packed:
-            # packed value pass for H0/Hf and the live-accept prediction:
-            # per-chain map over the branch-blocked packed kernel (2 calls
-            # per sweep — the L-step stream the trajectory kernel removes
-            # dominates; a chains-folded packed forward is not needed)
+            # packed value pass for H0/Hf and the live-accept predictions:
+            # FORWARD-ONLY per-chain map (r5: the fwd+bwd kernel wasted a
+            # 2/3-of-cost backward here — 2 value passes per block per
+            # sweep are a visible share of the UKB wall clock). D.predict
+            # is also the operator the sweep's own snapshot predictions
+            # use, so the accept endpoints and the bookkeeping basis share
+            # one operator.
             def vg_all_packed(w_gc_, b_gc_):
                 t_cg = lambda tree: jax.tree.map(
                     lambda a: jnp.swapaxes(a, 0, 1), tree
@@ -1157,11 +1160,9 @@ def make_transition_batch(model_type: str, act_name: str, cfg: MCMCCfg,
                     w_c, b_c, tc = args
 
                     def per_branch(x_g, w_g, b_g, t_g):
-                        # f32 values: these feed H0/Hf and the live accept
-                        yp, rss, _, _ = branch_mlp.data_vg_packed(
-                            act_name, x_g, w_g, b_g, t_g, f32=True
-                        )
-                        return yp, rss
+                        yp = D.predict(act_name, w_g, b_g, x_g)
+                        r = yp - t_g
+                        return yp, jnp.sum(r * r)
 
                     return jax.vmap(per_branch)(x, w_c, b_c, tc)
 
