@@ -608,17 +608,22 @@ def _gibbs_local_precisions(
                     keys[l], shape, scale, jnp.sum(w * w), nvar
                 ).reshape(1, 1)
         if lam_floor > 0:
-            # divergence guard (mcmc_cfg.lam_row_floor): cut the scale-free
-            # slab feedback loop (huge w -> tiny lambda -> huger draws and
-            # infinite izmailov step sizes). max() is the identity for every
-            # healthy draw
+            # divergence guard (mcmc_cfg.lam_row_floor): cut the
+            # scale-degeneracy ridge (W0 -> cW0, w_out -> w_out/c with the
+            # near-improper hyperprior chasing the growth down). max() is
+            # the identity for healthy weight draws. BIAS precisions are
+            # deliberately exempt: biases are unregularized coordinates in
+            # the marginal potential, so their lambda legitimately wanders
+            # low (it only scales the izmailov step size) — flooring them
+            # changed reference mixing behavior (measured r5: parity rows
+            # jumped +0.04-0.11 ABOVE the oracle because capped bias steps
+            # raised acceptance in the reference's low-acceptance canonical
+            # workload).
             lam = jnp.maximum(lam, lam_floor)
         new_wp.append(lam)
         bp = gibbs.ridge_precision_posterior(
             keys[L - 1 + l], shape, scale, jnp.sum(b_g[l] ** 2), statics_g.b_counts[l]
         ).reshape(1)
-        if lam_floor > 0:
-            bp = jnp.maximum(bp, lam_floor)
         new_bp.append(bp)
     if ssr is not None:
         return tuple(new_wp), tuple(new_bp), z_rows

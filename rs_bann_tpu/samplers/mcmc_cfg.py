@@ -96,7 +96,10 @@ class MCMCCfg:
     # run; this IS r4's recorded "lambda_e spiral" divergence mode).
     # Standardized-genotype effect scales are <= O(1), so healthy lambdas
     # sit orders of magnitude above 0.01 and draws are bitwise unchanged
-    # outside the pathology. 0 disables.
+    # outside the pathology. Applies to WEIGHT-group precisions only —
+    # bias precisions are exempt (unregularized coordinates whose lambda
+    # only scales step sizes; flooring them measurably changed reference
+    # mixing, net._gibbs_local_precisions). 0 disables.
     live_accept: bool = True  # TPU extension (parallel/hybrid marginal HMC):
     # integrate all branch trajectories in parallel against the FROZEN
     # residual (the expensive leapfrogs stay batched on the MXU), but run
