@@ -2077,6 +2077,16 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     )
                 res, traj_blk = out if record_traj else (out, ())
                 if live_accept:
+                    import os as _dbgos
+                    if _dbgos.environ.get("RS_BANN_DEBUG_NAN"):
+                        jax.debug.print(
+                            "blk W0scan_nan={a} ypred0_nan={b} ypredprop_nan={c} res_pre_nan={d} b_b_max={e} w_b_max={f} eps_dbg={g}",
+                            a=jnp.isnan(w_b[0]).sum(), b=jnp.isnan(res.y_pred0).sum(),
+                            c=jnp.isnan(res.y_pred_prop).sum(),
+                            d=jnp.isnan(residual).sum(),
+                            e=jnp.max(jnp.abs(b_b[0])), f=jnp.max(jnp.abs(w_b[0])),
+                            g=jnp.max(jnp.abs(res.biases[0])),
+                        )
                     if ssm_on:
                         # rebase to the post-scan state via the proposal's
                         # own initial-state prediction (see sweep_parallel)
@@ -2089,6 +2099,14 @@ def make_sweep(model_type: str, act: str, arch: NetArch, cfg: MCMCCfg, hyper):
                     res = _live_accept_select(
                         k_lacc, residual, preds, res, err_hmc, w_b, b_b
                     )
+                    if _dbgos.environ.get("RS_BANN_DEBUG_NAN"):
+                        jax.debug.print(
+                            "postsel b_nan={a} w_nan={b} res_nan={c} code2={d}",
+                            a=jnp.isnan(res.biases[0]).sum(),
+                            b=jnp.isnan(res.weights[0]).sum(),
+                            c=jnp.isnan(residual).sum(),
+                            d=jnp.sum(res.code == 2),
+                        )
             res_weights, res_biases, y_pred_new = (
                 res.weights, res.biases, res.y_pred
             )
